@@ -1,0 +1,218 @@
+"""Clipper facade — the user-facing driver class.
+
+Mirrors the conceptual surface of the reference CLIPPER class
+(reference: include/clipper/clipper.h:78-183, Python surface
+bindings/python/py_clipper.cpp:197-232) with the same snake_case method names
+as ``clipperpy``. Data layout follows the reference: ``D1`` is (d, n1) with
+data as *columns* (reference: include/clipper/clipper.h:88-90).
+
+Differences by design (TPU-native):
+  * Matrices are dense jnp arrays; "sparse" inputs are accepted as
+    scipy.sparse or dense and densified.
+  * Randomness is explicit: pass ``u0`` or a PRNG ``key`` to :meth:`solve`.
+  * The solver runs jitted on the default JAX device; DSD rounding and the
+    exact max-clique baseline run host-side.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clipper_tpu import utils
+from clipper_tpu.invariants.base import PairwiseInvariant
+from clipper_tpu.ops.affinity import build_affinity
+from clipper_tpu.solvers import msrc
+from clipper_tpu.types import Params, Rounding, Solution, as_association
+
+
+def _default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class Clipper:
+    def __init__(self, invariant: Optional[PairwiseInvariant],
+                 params: Params = Params(), *, dtype=None):
+        self.invariant = invariant
+        self.params = params
+        self.dtype = dtype or _default_dtype()
+        self._A: Optional[jnp.ndarray] = None   # (m, 2) putative associations
+        self._M: Optional[jnp.ndarray] = None   # (m, m) zero-diag symmetric
+        self._C: Optional[jnp.ndarray] = None   # (m, m) zero-diag symmetric 0/1
+        self._soln: Optional[Solution] = None
+
+    # ------------------------------------------------------------------
+    # scoring
+    # ------------------------------------------------------------------
+
+    def score_pairwise_consistency(self, D1, D2, A=None) -> None:
+        """Build affinity/constraint matrices from (d, n) column-major data.
+
+        reference: src/clipper.cpp:21-65.
+        """
+        D1 = jnp.asarray(D1, self.dtype).T   # -> (n1, d) rows
+        D2 = jnp.asarray(D2, self.dtype).T
+        if A is not None and np.size(A) == 0:
+            A = None
+        M, C, Aout = build_affinity(self.invariant, D1, D2, A,
+                                    affinityeps=self.params.affinityeps,
+                                    dtype=self.dtype)
+        self._M, self._C, self._A = M, C, Aout
+
+    # ------------------------------------------------------------------
+    # solvers
+    # ------------------------------------------------------------------
+
+    def solve(self, u0=None, *, key: Optional[jax.Array] = None) -> Solution:
+        """Solve MSRC by graduated projected gradient ascent.
+
+        reference: src/clipper.cpp:69-78. If no u0 is given, a U[0,1) random
+        vector is drawn (explicit ``key``, else a time-seeded key — pass a key
+        for reproducibility).
+        """
+        self._require_matrices()
+        m = self._M.shape[0]
+        if u0 is None:
+            if key is None:
+                key = jax.random.PRNGKey(time.time_ns() & 0x7FFFFFFF)
+            u0 = utils.randvec(key, m, dtype=self.dtype)
+        u0 = jnp.asarray(u0, self.dtype)
+
+        t0 = time.perf_counter()
+        soln = msrc.solve_msrc(self._M, self._C, u0, self.params)
+        soln.mask.block_until_ready()
+
+        if self.params.rounding == Rounding.DSD:
+            # exact densest-subgraph rounding on the NONZERO support
+            # (reference: src/clipper.cpp:294-300); host-side combinatorial.
+            from clipper_tpu.solvers import dsd
+            S = list(np.flatnonzero(np.asarray(soln.u) > 0))
+            nodes = dsd.solve(np.asarray(self._M), S)
+            mask = np.zeros(m, dtype=bool)
+            mask[nodes] = True
+            soln = Solution(ifinal=soln.ifinal, mask=jnp.asarray(mask),
+                            u0=soln.u0, u=soln.u, score=soln.score)
+        soln.t = time.perf_counter() - t0
+        self._soln = soln
+        return soln
+
+    def solve_as_maximum_clique(self, params=None) -> Solution:
+        """Solve the exact/heuristic maximum-clique problem on C.
+
+        reference: src/clipper.cpp:82-97.
+        """
+        from clipper_tpu.solvers import maxclique
+        self._require_matrices()
+        m = self._M.shape[0]
+        # densified constraint adjacency without diagonal
+        # (reference: src/clipper.cpp:84-85)
+        adj = np.asarray(self._C) != 0
+        t0 = time.perf_counter()
+        nodes = maxclique.solve(adj, params or maxclique.Params())
+        t = time.perf_counter() - t0
+        mask = np.zeros(m, dtype=bool)
+        mask[nodes] = True
+        self._soln = Solution(ifinal=jnp.int32(0), mask=jnp.asarray(mask),
+                              u0=jnp.zeros(m, self.dtype),
+                              u=jnp.zeros(m, self.dtype),
+                              score=jnp.asarray(-1.0, self.dtype), t=t)
+        return self._soln
+
+    def solve_as_msrc_sdr(self, params=None) -> Solution:
+        """Solve the MSRC semidefinite relaxation (JAX-native ADMM).
+
+        reference: src/clipper.cpp:101-113, src/sdp.cpp:88-303.
+        """
+        from clipper_tpu.solvers import sdp
+        self._require_matrices()
+        m = self._M.shape[0]
+        M = self.get_affinity_matrix()
+        C = self.get_constraint_matrix()
+        t0 = time.perf_counter()
+        sdp_soln = sdp.solve(M, C, params or sdp.Params())
+        t = time.perf_counter() - t0
+        mask = np.zeros(m, dtype=bool)
+        mask[sdp_soln.nodes] = True
+        self._soln = Solution(ifinal=jnp.int32(0), mask=jnp.asarray(mask),
+                              u0=jnp.zeros(m, self.dtype),
+                              u=jnp.zeros(m, self.dtype),
+                              score=jnp.asarray(-1.0, self.dtype), t=t)
+        return self._soln
+
+    # ------------------------------------------------------------------
+    # accessors (reference: src/clipper.cpp:117-166)
+    # ------------------------------------------------------------------
+
+    def get_solution(self) -> Solution:
+        return self._soln
+
+    def get_initial_associations(self) -> np.ndarray:
+        return np.asarray(self._A)
+
+    def get_selected_associations(self) -> np.ndarray:
+        """reference: src/clipper.cpp:124-127."""
+        return utils.select_inlier_associations(self._soln, self._A)
+
+    def get_affinity_matrix(self) -> jnp.ndarray:
+        """Symmetric M with identity diagonal (reference: src/clipper.cpp:131-136)."""
+        self._require_matrices()
+        return self._M + jnp.eye(self._M.shape[0], dtype=self.dtype)
+
+    def get_constraint_matrix(self) -> jnp.ndarray:
+        """Symmetric C with identity diagonal (reference: src/clipper.cpp:140-145)."""
+        self._require_matrices()
+        return self._C + jnp.eye(self._C.shape[0], dtype=self.dtype)
+
+    def set_matrix_data(self, M, C, A=None) -> None:
+        """Inject dense affinity/constraint matrices directly.
+
+        The reference keeps the strict upper triangle (diagonal stripped)
+        (reference: src/clipper.cpp:149-158); internally we store the full
+        symmetric zero-diagonal form.
+        """
+        M = jnp.asarray(M, self.dtype)
+        C = jnp.asarray(C, self.dtype)
+        Mu = jnp.triu(M, k=1)
+        Cu = jnp.triu(C, k=1)
+        self._M = Mu + Mu.T
+        self._C = Cu + Cu.T
+        if A is not None:
+            self._A = as_association(A)
+
+    def set_sparse_matrix_data(self, M, C, A=None) -> None:
+        """Inject upper-triangular (no diagonal) sparse or dense matrices.
+
+        reference: src/clipper.cpp:162-166 (matrices must be upper triangular
+        with unset diagonal).
+        """
+        M = _densify(M)
+        C = _densify(C)
+        self.set_matrix_data(M + M.T, C + C.T, A)
+
+    def set_parallelize(self, parallelize: bool) -> None:
+        """No-op, kept for API parity (reference: include/clipper/clipper.h:148).
+
+        On TPU the affinity build is always data-parallel via XLA.
+        """
+
+    # ------------------------------------------------------------------
+
+    def _require_matrices(self):
+        if self._M is None or self._C is None:
+            raise RuntimeError(
+                "no affinity/constraint matrices; call "
+                "score_pairwise_consistency or set_matrix_data first")
+
+
+def _densify(X) -> np.ndarray:
+    if hasattr(X, "toarray"):   # scipy.sparse
+        return np.asarray(X.toarray())
+    return np.asarray(X)
+
+
+# API-parity alias matching the reference class name.
+CLIPPER = Clipper

@@ -1,0 +1,183 @@
+"""End-to-end MSRC solver tests.
+
+Ports the reference integration test (reference: test/clipper_test.cpp:15-68):
+score -> solve -> the 3 selected associations must be the identity pairs.
+Adds determinism, warm-start, rounding-mode, and MATLAB-formulation
+cross-checks the reference lacks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import clipper_tpu as ct
+from clipper_tpu.solvers.msrc import find_dense_clique, solve_msrc
+
+from test_affinity import make_scene
+
+
+def solve_scene(params=None, key=0):
+    model, data = make_scene()
+    clipper = ct.Clipper(ct.EuclideanDistance(), params or ct.Params())
+    clipper.score_pairwise_consistency(model, data)
+    clipper.solve(key=jax.random.PRNGKey(key))
+    return clipper
+
+
+def test_end_to_end_euclidean():
+    clipper = solve_scene()
+    Ain = clipper.get_selected_associations()
+    assert Ain.shape[0] == 3
+    np.testing.assert_array_equal(Ain[:, 0], Ain[:, 1])
+
+
+def test_selects_identity_for_most_seeds():
+    # The PGA solver is a local method and init-sensitive (the reference's
+    # rescale_u0 mitigates but does not eliminate this; its own NumPy
+    # transliteration finds a 2-clique for some inits). Require the identity
+    # 3-clique for a strong majority of seeds.
+    hits = 0
+    for seed in range(8):
+        clipper = solve_scene(key=seed)
+        Ain = clipper.get_selected_associations()
+        if Ain.shape[0] == 3 and (Ain[:, 0] == Ain[:, 1]).all():
+            hits += 1
+    assert hits >= 6, f"only {hits}/8 seeds found the identity clique"
+
+
+def test_score_close_to_clique_size():
+    clipper = solve_scene()
+    soln = clipper.get_solution()
+    # for a perfect 3-clique with unit weights the spectral score ~ 3
+    assert abs(float(soln.score) - 3.0) < 0.1
+
+
+def test_warm_start():
+    clipper = solve_scene()
+    soln1 = clipper.get_solution()
+    # warm start from the previous solution's u: still the same answer
+    soln2 = clipper.solve(u0=soln1.u)
+    Ain = clipper.get_selected_associations()
+    assert Ain.shape[0] == 3
+    np.testing.assert_array_equal(Ain[:, 0], Ain[:, 1])
+
+
+def test_deterministic_given_key():
+    s1 = solve_scene(key=42).get_solution()
+    s2 = solve_scene(key=42).get_solution()
+    np.testing.assert_array_equal(np.asarray(s1.u), np.asarray(s2.u))
+    assert float(s1.score) == float(s2.score)
+
+
+def test_rounding_nonzero():
+    params = ct.Params(rounding=ct.Rounding.NONZERO)
+    clipper = solve_scene(params)
+    Ain = clipper.get_selected_associations()
+    # NONZERO may keep a superset, but must include the identity 3-clique
+    ids = {(int(a), int(b)) for a, b in Ain}
+    for i in range(3):
+        assert (i, i) in ids
+
+
+def test_fuse_md_equivalence():
+    """Fused Md = M + d*C matvec must match the reference's 2-matvec form."""
+    model, data = make_scene()
+    clipper = ct.Clipper(ct.EuclideanDistance(), ct.Params())
+    clipper.score_pairwise_consistency(model, data)
+    M, C = clipper._M, clipper._C
+    u0 = jax.random.uniform(jax.random.PRNGKey(1), (M.shape[0],),
+                            dtype=M.dtype)
+    u_a, F_a, i_a = find_dense_clique(M, C, u0, ct.Params(), fuse_md=True)
+    u_b, F_b, i_b = find_dense_clique(M, C, u0, ct.Params(), fuse_md=False)
+    np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_b), atol=1e-9)
+    assert abs(float(F_a) - float(F_b)) < 1e-9
+
+
+def np_reference_solver(M, C, u0, params=ct.Params()):
+    """Straight NumPy transliteration of the reference loop
+    (reference: src/clipper.cpp:172-281) as a parity oracle."""
+    M = np.asarray(M, dtype=np.float64)
+    C = np.asarray(C, dtype=np.float64)
+    u = M @ u0 + u0 if params.rescale_u0 else u0.copy()
+    u = u / np.linalg.norm(u)
+    ones_sum = lambda v: np.sum(v)
+    Cbu = ones_sum(u) - C @ u - u
+    idxD = (Cbu > params.eps) & (u > params.eps)
+    d = 0.0
+    if idxD.sum() > 0:
+        Mu = M @ u + u
+        d = np.mean(Mu[idxD] / Cbu[idxD])
+
+    F = 0.0
+    for i in range(params.maxoliters):
+        gradF = (1 + d) * u - d * np.sum(u) + M @ u + (C @ u) * d
+        F = u @ gradF
+        for j in range(params.maxiniters):
+            alpha = 1.0
+            for k in range(params.maxlsiters):
+                unew = np.maximum(u + alpha * gradF, 0)
+                unew = unew / np.linalg.norm(unew)
+                gradFnew = ((1 + d) * unew - d * np.sum(unew)
+                            + M @ unew + (C @ unew) * d)
+                Fnew = unew @ gradFnew
+                deltaF = Fnew - F
+                if deltaF < -params.eps:
+                    alpha *= params.beta
+                else:
+                    break
+            deltau = np.linalg.norm(unew - u)
+            F, u, gradF = Fnew, unew, gradFnew
+            if deltau < params.tol_u or abs(deltaF) < params.tol_F:
+                break
+        Cbu = np.sum(u) - C @ u - u
+        idxD = (Cbu > params.eps) & (u > params.eps)
+        if idxD.sum() > 0:
+            Mu = M @ u + u
+            d += np.mean(np.abs(Mu[idxD] / Cbu[idxD]))
+        else:
+            break
+    return u, F, i
+
+
+_jit_fdc_exact = jax.jit(
+    lambda M, C, u0: find_dense_clique(M, C, u0, ct.Params(), fuse_md=False))
+
+
+def test_parity_vs_numpy_transliteration():
+    """fp64 JAX solver must match the reference loop step-for-step."""
+    model, data = make_scene()
+    clipper = ct.Clipper(ct.EuclideanDistance(), ct.Params())
+    clipper.score_pairwise_consistency(model, data)
+    M, C = np.asarray(clipper._M), np.asarray(clipper._C)
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        u0 = rng.uniform(size=M.shape[0])
+        u_np, F_np, i_np = np_reference_solver(M, C, u0)
+        u_jx, F_jx, i_jx = _jit_fdc_exact(
+            jnp.asarray(M), jnp.asarray(C), jnp.asarray(u0))
+        np.testing.assert_allclose(np.asarray(u_jx), u_np, atol=1e-12)
+        assert abs(float(F_jx) - F_np) < 1e-10
+        assert int(i_jx) == i_np
+
+
+def test_parity_random_graphs():
+    """Parity on random weighted graphs, not just the toy scene."""
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        m = 24
+        W = rng.uniform(size=(m, m))
+        W = np.triu((W + W.T) / 2, 1)
+        keep = np.triu(rng.uniform(size=(m, m)) < 0.4, 1)
+        Mu_ = np.where(keep, W, 0.0)
+        M = Mu_ + Mu_.T
+        C = (M > 0).astype(np.float64)
+        u0 = rng.uniform(size=m)
+        u_np, F_np, i_np = np_reference_solver(M, C, u0)
+        u_jx, F_jx, i_jx = jax.jit(
+            lambda M_, C_, u0_: find_dense_clique(M_, C_, u0_, ct.Params(),
+                                                  fuse_md=False))(
+            jnp.asarray(M), jnp.asarray(C), jnp.asarray(u0))
+        np.testing.assert_allclose(np.asarray(u_jx), u_np, atol=1e-10)
+        assert abs(float(F_jx) - F_np) < 1e-8
+        assert int(i_jx) == i_np
