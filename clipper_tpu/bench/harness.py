@@ -1,0 +1,188 @@
+"""Monte-Carlo registration benchmark harness.
+
+Replicates the reference benchmark protocol (reference: benchmarks/main.cpp):
+bun10k scaled to the unit cube, bounded normal noise (sigma=0.01,
+beta=5.54*sigma), GT = mutual 1-NN within beta, Euclidean invariant with
+sigma=0.015 / epsilon=0.05, grid over m x outlier-ratio with Monte-Carlo
+trials, reporting affinity-build time, solver time, precision, and recall.
+
+Adds TPU-native measurement modes the reference lacks: batched (vmap) trials
+where one device solves a whole grid cell's trials at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clipper_tpu import utils
+from clipper_tpu.bench import data
+from clipper_tpu.invariants.euclidean import EuclideanDistance, EuclideanDistanceParams
+from clipper_tpu.ops.affinity import score_pairwise_consistency
+from clipper_tpu.solvers import msrc
+from clipper_tpu.types import Params
+
+NOISE_SIGMA = 0.01
+NOISE_BETA = 5.54 * NOISE_SIGMA
+INV_SIGMA = 0.015
+INV_EPSILON = 0.05
+
+
+@dataclasses.dataclass
+class Trial:
+    t_affinity: float = 0.0
+    t_solver: float = 0.0
+    p: float = 0.0
+    r: float = 0.0
+
+
+def default_invariant() -> EuclideanDistance:
+    return EuclideanDistance(EuclideanDistanceParams(
+        sigma=INV_SIGMA, epsilon=INV_EPSILON))
+
+
+def load_bunny() -> np.ndarray:
+    return data.scale_to_cube(data.read_ply(data.BUN10K), 1.0)
+
+
+def make_problem(pcd0: np.ndarray, m: int, rho: float,
+                 rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray,
+                                                    np.ndarray, np.ndarray]:
+    """One synthetic registration problem: (pcd1, A, Agt)."""
+    eta = data.generate_bounded_normal_noise(rng, pcd0.shape[0],
+                                             NOISE_SIGMA, NOISE_BETA)
+    pcd1 = pcd0 + eta
+    Agt0 = data.distance_based_correspondences(pcd0, pcd1, 1, NOISE_BETA, True)
+    A, Agt = data.generate_synthetic_correspondences(
+        rng, pcd0.shape[0], pcd1.shape[0], Agt0, m, rho)
+    return pcd1, A, Agt
+
+
+@jax.jit
+def _pipeline(D1, D2, A, u0):
+    """Jitted end-to-end step: affinity build + MSRC solve + rounding."""
+    inv = default_invariant()
+    M, C = score_pairwise_consistency(inv, D1, D2, A, affinityeps=1e-4)
+    return msrc.solve_msrc(M, C, u0, Params())
+
+
+def run_trial(pcd0: np.ndarray, m: int, rho: float,
+              rng: np.random.Generator, key: jax.Array,
+              dtype=jnp.float32) -> Trial:
+    """One Monte-Carlo trial (timing mirrors reference main.cpp:176-193)."""
+    trial = Trial()
+    pcd1, A, Agt = make_problem(pcd0, m, rho, rng)
+
+    inv = default_invariant()
+    D1 = jnp.asarray(pcd0, dtype)
+    D2 = jnp.asarray(pcd1, dtype)
+    Aj = jnp.asarray(A, jnp.int32)
+    u0 = utils.randvec(key, m, dtype=dtype)
+
+    score_jit = jax.jit(lambda D1, D2, A: score_pairwise_consistency(
+        inv, D1, D2, A, affinityeps=1e-4))
+    solve_jit = jax.jit(lambda M, C, u0: msrc.solve_msrc(M, C, u0, Params()))
+
+    # warmup (compile)
+    M, C = score_jit(D1, D2, Aj)
+    M.block_until_ready()
+    t0 = time.perf_counter()
+    M, C = score_jit(D1, D2, Aj)
+    M.block_until_ready()
+    trial.t_affinity = time.perf_counter() - t0
+
+    soln = solve_jit(M, C, u0)
+    soln.mask.block_until_ready()
+    t0 = time.perf_counter()
+    soln = solve_jit(M, C, u0)
+    soln.mask.block_until_ready()
+    trial.t_solver = time.perf_counter() - t0
+
+    Ain = A[np.asarray(soln.mask)]
+    trial.p, trial.r = data.get_precision_recall(Ain, Agt)
+    return trial
+
+
+# ----------------------------------------------------------------------------
+# batched engine measurement: B independent problems solved at once via vmap
+# ----------------------------------------------------------------------------
+
+
+def run_batched(pcd0: np.ndarray, m: int, rho: float, batch: int,
+                rng: np.random.Generator, key: jax.Array,
+                dtype=jnp.float32, n_timing_reps: int = 3):
+    """Solve `batch` independent problems in one vmapped device program.
+
+    Returns (throughput_problems_per_s, mean_precision, mean_recall,
+    elapsed_s) where elapsed covers affinity build + solve + rounding for the
+    whole batch (compile/warmup excluded).
+    """
+    problems = [make_problem(pcd0, m, rho, rng) for _ in range(batch)]
+    D1 = jnp.asarray(pcd0, dtype)
+    D2s = jnp.stack([jnp.asarray(p[0], dtype) for p in problems])
+    As = jnp.stack([jnp.asarray(p[1], jnp.int32) for p in problems])
+    u0s = jax.vmap(lambda k: utils.randvec(k, m, dtype=dtype))(
+        jax.random.split(key, batch))
+
+    inv = default_invariant()
+    params = Params()
+
+    @jax.jit
+    def batch_pipeline(D1, D2s, As, u0s):
+        def one(D2, A, u0):
+            M, C = score_pairwise_consistency(inv, D1, D2, A,
+                                              affinityeps=1e-4)
+            return msrc.solve_msrc(M, C, u0, params)
+        return jax.vmap(one)(D2s, As, u0s)
+
+    solns = batch_pipeline(D1, D2s, As, u0s)  # compile + warmup
+    solns.mask.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(n_timing_reps):
+        solns = batch_pipeline(D1, D2s, As, u0s)
+        solns.mask.block_until_ready()
+    elapsed = (time.perf_counter() - t0) / n_timing_reps
+
+    masks = np.asarray(solns.mask)
+    ps, rs = [], []
+    for b, (_, A, Agt) in enumerate(problems):
+        p, r = data.get_precision_recall(A[masks[b]], Agt)
+        ps.append(p)
+        rs.append(r)
+    return batch / elapsed, float(np.mean(ps)), float(np.mean(rs)), elapsed
+
+
+def run_grid(num_assocs=(64, 256, 512, 1024, 2048),
+             outrats=(0.0, 0.2, 0.4, 0.8, 0.9),
+             n_trials: int = 20, seed: int = 0,
+             dtype=jnp.float32, verbose: bool = True) -> List[dict]:
+    """The reference's full Monte-Carlo grid (reference: main.cpp:206-294)."""
+    pcd0 = load_bunny()
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    rows = []
+    for rho in outrats:
+        for m in num_assocs:
+            trials = []
+            for t in range(n_trials):
+                key, sub = jax.random.split(key)
+                trials.append(run_trial(pcd0, m, rho, rng, sub, dtype))
+            row = dict(
+                rho=rho, m=m,
+                t_affinity_ms=1e3 * float(np.mean([t.t_affinity for t in trials])),
+                t_solver_ms=1e3 * float(np.mean([t.t_solver for t in trials])),
+                precision=float(np.mean([t.p for t in trials])),
+                recall=float(np.mean([t.r for t in trials])),
+            )
+            rows.append(row)
+            if verbose:
+                print(f"rho={rho:.1f} m={m:5d}  affinity={row['t_affinity_ms']:8.2f}ms"
+                      f"  solver={row['t_solver_ms']:8.2f}ms"
+                      f"  P={row['precision']*100:5.1f}%  R={row['recall']*100:5.1f}%")
+    return rows
