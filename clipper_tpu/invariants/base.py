@@ -62,3 +62,14 @@ class PairwiseInvariant:
         bi = P2[:, None, :]
         bj = P2[None, :, :]
         return self(ai, aj, bi, bj)
+
+    def score_block(self, P1r, P1c, P2r, P2c) -> jnp.ndarray:
+        """(mr, mc) score tile between a row block and a column block.
+
+        Used by the sharded / tiled affinity build: entry (i, j) scores
+        association row-block[i] against column-block[j]. Must equal the
+        corresponding tile of :meth:`score_matrix`. Default: broadcast
+        :meth:`__call__`.
+        """
+        return self(P1r[:, None, :], P1c[None, :, :],
+                    P2r[:, None, :], P2c[None, :, :])

@@ -18,7 +18,10 @@ import dataclasses
 import jax.numpy as jnp
 
 from clipper_tpu.invariants.base import PairwiseInvariant
-from clipper_tpu.ops.pairwise import pairwise_distance_matrix
+from clipper_tpu.ops.pairwise import (
+    cross_distance_matrix,
+    pairwise_distance_matrix,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,4 +55,9 @@ class EuclideanDistance(PairwiseInvariant):
         # MXU matmuls instead of an (m, m, d) broadcast difference.
         l1 = pairwise_distance_matrix(P1)
         l2 = pairwise_distance_matrix(P2)
+        return self._score_from_lengths(l1, l2)
+
+    def score_block(self, P1r, P1c, P2r, P2c):
+        l1 = cross_distance_matrix(P1r, P1c)
+        l2 = cross_distance_matrix(P2r, P2c)
         return self._score_from_lengths(l1, l2)

@@ -28,7 +28,11 @@ import dataclasses
 import jax.numpy as jnp
 
 from clipper_tpu.invariants.base import PairwiseInvariant
-from clipper_tpu.ops.pairwise import pairwise_distance_matrix, pairwise_inner_matrix
+from clipper_tpu.ops.pairwise import (
+    cross_distance_matrix,
+    pairwise_distance_matrix,
+    pairwise_inner_matrix,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,4 +72,11 @@ class PointNormalDistance(PairwiseInvariant):
         l2 = pairwise_distance_matrix(P2[:, :3])
         a1 = jnp.arccos(jnp.clip(pairwise_inner_matrix(P1[:, 3:6]), -1.0, 1.0))
         a2 = jnp.arccos(jnp.clip(pairwise_inner_matrix(P2[:, 3:6]), -1.0, 1.0))
+        return self._score(l1, l2, a1, a2)
+
+    def score_block(self, P1r, P1c, P2r, P2c):
+        l1 = cross_distance_matrix(P1r[:, :3], P1c[:, :3])
+        l2 = cross_distance_matrix(P2r[:, :3], P2c[:, :3])
+        a1 = jnp.arccos(jnp.clip(P1r[:, 3:6] @ P1c[:, 3:6].T, -1.0, 1.0))
+        a2 = jnp.arccos(jnp.clip(P2r[:, 3:6] @ P2c[:, 3:6].T, -1.0, 1.0))
         return self._score(l1, l2, a1, a2)

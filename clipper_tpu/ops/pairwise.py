@@ -41,3 +41,28 @@ def pairwise_distance_matrix(P: jnp.ndarray) -> jnp.ndarray:
 def pairwise_inner_matrix(P: jnp.ndarray) -> jnp.ndarray:
     """Inner-product (Gram) matrix of the rows of P: (m, d) -> (m, m)."""
     return P @ P.T
+
+
+def cross_sqdist_matrix(Pr: jnp.ndarray, Pc: jnp.ndarray) -> jnp.ndarray:
+    """Squared distances between row sets: (mr, d) x (mc, d) -> (mr, mc).
+
+    Block form of :func:`pairwise_sqdist_matrix` for sharded / tiled affinity
+    construction where the row block and column block differ.
+    """
+    mr, d = Pr.shape
+    mc = Pc.shape[0]
+    if d <= _GRAM_DIM_THRESHOLD:
+        sq = jnp.zeros((mr, mc), dtype=Pr.dtype)
+        for k in range(d):
+            diff = Pr[:, k, None] - Pc[None, :, k]
+            sq = sq + diff * diff
+        return sq
+    g = Pr @ Pc.T
+    out = (jnp.sum(Pr * Pr, axis=1)[:, None]
+           + jnp.sum(Pc * Pc, axis=1)[None, :] - 2.0 * g)
+    return jnp.maximum(out, 0.0)
+
+
+def cross_distance_matrix(Pr: jnp.ndarray, Pc: jnp.ndarray) -> jnp.ndarray:
+    """Distances between row sets: (mr, d) x (mc, d) -> (mr, mc)."""
+    return jnp.sqrt(cross_sqdist_matrix(Pr, Pc))

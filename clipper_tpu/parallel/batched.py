@@ -1,0 +1,73 @@
+"""Batched engine: many independent problems per device program via vmap.
+
+The reference solves one problem per process; its only parallelism is an
+OpenMP loop inside the affinity build (SURVEY.md §2). The TPU-native
+equivalent of "throughput" is problem batching: vmap the whole pipeline
+(scoring + solver + rounding) over B problems so a single chip runs
+thousands of registrations / loop-closure verifications in one program.
+
+Under vmap the nested while_loops run until the slowest problem in the batch
+converges (lax.while_loop batching semantics); converged problems idle via
+masked predicates. For homogeneous problem sizes this costs little; bucket
+by m for heterogeneous loads.
+
+Optionally shard the batch axis across a mesh (data parallelism over
+problems) — combined with jit this scales to all devices with zero
+communication.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clipper_tpu.invariants.base import PairwiseInvariant
+from clipper_tpu.ops.affinity import score_pairwise_consistency
+from clipper_tpu.solvers import msrc
+from clipper_tpu.types import Params, Solution
+
+
+def make_batched_pipeline(invariant: PairwiseInvariant,
+                          params: Params = Params(),
+                          affinityeps: float = 1e-4,
+                          shared_d1: bool = False):
+    """Compile (D1s, D2s, As, u0s) -> batched Solution.
+
+    Shapes: D1s (B, n1, d) — or (n1, d) if shared_d1, D2s (B, n2, d),
+    As (B, m, 2), u0s (B, m).
+    """
+
+    def one(D1, D2, A, u0):
+        M, C = score_pairwise_consistency(invariant, D1, D2, A,
+                                          affinityeps=affinityeps)
+        u, F, ifinal = msrc.find_dense_clique(M, C, u0, params)
+        mask = msrc.round_solution(u, F, params.rounding)
+        return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=F)
+
+    in_axes = (None if shared_d1 else 0, 0, 0, 0)
+    return jax.jit(jax.vmap(one, in_axes=in_axes))
+
+
+def make_solve_pipeline(params: Params = Params()):
+    """Compile (Ms, Cs, u0s) -> batched Solution (matrices already built)."""
+
+    def one(M, C, u0):
+        u, F, ifinal = msrc.find_dense_clique(M, C, u0, params)
+        mask = msrc.round_solution(u, F, params.rounding)
+        return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=F)
+
+    return jax.jit(jax.vmap(one))
+
+
+def shard_batch(tree, mesh: Mesh, axis_name: str = "b"):
+    """Place a batch of arrays with the leading axis sharded over the mesh.
+
+    Data parallelism over problems: each device owns B/ndev problems; no
+    collectives are needed anywhere in the pipeline.
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,199 @@
+"""Sharded engine: single huge problems block-distributed over a device mesh.
+
+The reference's scalability ceiling is one node's memory for the m x m
+affinity matrix (dense build at reference: src/clipper.cpp:29 before
+sparsification); it has no distributed capability of any kind (SURVEY.md §2).
+This module is the TPU-native answer for m >= 100k associations:
+
+  * 2D mesh ("r", "c"); M and C live as (m/R, m/C) blocks per device,
+    NEVER materialized on one host.
+  * The affinity build computes each device's block locally from the
+    (replicated, small) gathered endpoint arrays — zero communication.
+  * The PGA matvec is a block-row matmul: local (m/R, m/C) @ u_c, psum over
+    the column axis, all_gather over the row axis. All collectives ride ICI.
+  * Norms / sums / the line-search logic operate on the replicated (m,)
+    iterate — O(m) redundant work vs O(m^2/(RC)) matvec work, negligible.
+
+Everything runs in ONE shard_map region so XLA schedules collectives with
+compute; the solver loop is the same run_pga as the dense path, with sharded
+operators plugged in.
+
+Requirement: the invariant's score_block must be symmetric in its pair
+arguments (true for all built-ins); the sharded build computes both triangles
+independently instead of mirroring the upper one.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from clipper_tpu.invariants.base import PairwiseInvariant
+from clipper_tpu.solvers import msrc
+from clipper_tpu.types import Params, Rounding, Solution
+
+
+def make_mesh(shape: Tuple[int, int] = None,
+              axis_names: Tuple[str, str] = ("r", "c")) -> Mesh:
+    """2D device mesh over all available devices (R x C)."""
+    devices = np.array(jax.devices())
+    n = devices.size
+    if shape is None:
+        # squarest factorization of n
+        r = int(np.floor(np.sqrt(n)))
+        while n % r:
+            r -= 1
+        shape = (r, n // r)
+    return Mesh(devices[: shape[0] * shape[1]].reshape(shape), axis_names)
+
+
+def _padded_size(m: int, r: int, c: int) -> int:
+    block = int(np.lcm(r, c))
+    return int(-(-m // block) * block)
+
+
+def pad_problem(P1, P2, u0, m_pad: int):
+    """Zero-pad gathered endpoints and u0 to m_pad rows.
+
+    Padding with u0 = 0 and no edges is EXACT for the PGA: padded entries
+    start at 0, have strictly negative gradient once projected, never enter
+    the d-update mask, and contribute nothing to sums/norms.
+    """
+    m = P1.shape[0]
+    pad = m_pad - m
+    if pad == 0:
+        return P1, P2, u0
+    P1 = jnp.pad(P1, ((0, pad), (0, 0)))
+    P2 = jnp.pad(P2, ((0, pad), (0, 0)))
+    u0 = jnp.pad(u0, (0, pad))
+    return P1, P2, u0
+
+
+def sharded_operators(M_blk, C_blk, mc: int, axis_names=("r", "c")):
+    """PGA operators over block-sharded matrices (called INSIDE shard_map)."""
+    r_ax, c_ax = axis_names
+
+    def block_mv(blk, u):
+        ci = jax.lax.axis_index(c_ax)
+        u_c = jax.lax.dynamic_slice_in_dim(u, ci * mc, mc)
+        part = blk @ u_c                       # local MXU matmul
+        row = jax.lax.psum(part, c_ax)         # reduce partial products (ICI)
+        return jax.lax.all_gather(row, r_ax, tiled=True)  # replicate result
+
+    def make_mv_Md(d):
+        Md_blk = M_blk + d * C_blk             # local, no communication
+        return lambda u: block_mv(Md_blk, u)
+
+    return msrc.PGAOperators(
+        mv_M=lambda u: block_mv(M_blk, u),
+        mv_C=lambda u: block_mv(C_blk, u),
+        make_mv_Md=make_mv_Md,
+    )
+
+
+def _affinity_block(invariant, P1, P2, A, m_true: int, mr: int, mc: int,
+                    affinityeps: float, axis_names=("r", "c")):
+    """One device's (mr, mc) block of M and C (called INSIDE shard_map)."""
+    r_ax, c_ax = axis_names
+    ri = jax.lax.axis_index(r_ax)
+    ci = jax.lax.axis_index(c_ax)
+    r0 = ri * mr
+    c0 = ci * mc
+
+    P1r = jax.lax.dynamic_slice_in_dim(P1, r0, mr)
+    P1c = jax.lax.dynamic_slice_in_dim(P1, c0, mc)
+    P2r = jax.lax.dynamic_slice_in_dim(P2, r0, mr)
+    P2c = jax.lax.dynamic_slice_in_dim(P2, c0, mc)
+    Ar = jax.lax.dynamic_slice_in_dim(A, r0, mr)
+    Ac = jax.lax.dynamic_slice_in_dim(A, c0, mc)
+
+    scores = invariant.score_block(P1r, P1c, P2r, P2c)
+
+    # distinctness + diagonal + padding + threshold masks
+    # (reference: src/clipper.cpp:35-55)
+    distinct = ~((Ar[:, 0, None] == Ac[None, :, 0])
+                 | (Ar[:, 1, None] == Ac[None, :, 1]))
+    gr = r0 + jax.lax.broadcasted_iota(jnp.int32, (mr, mc), 0)
+    gc = c0 + jax.lax.broadcasted_iota(jnp.int32, (mr, mc), 1)
+    off_diag = gr != gc
+    valid = (gr < m_true) & (gc < m_true)
+    keep = distinct & off_diag & valid & (scores > affinityeps)
+
+    M_blk = jnp.where(keep, scores, 0.0).astype(scores.dtype)
+    C_blk = keep.astype(scores.dtype)
+    return M_blk, C_blk
+
+
+def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
+                           params: Params = Params(),
+                           affinityeps: float = 1e-4):
+    """Compile a full sharded pipeline: endpoints -> affinity blocks -> solve.
+
+    Returns a jitted function (P1, P2, A, u0, m_true) -> (u, F, ifinal, mask)
+    where P1/P2 are (m_pad, d) gathered endpoints (padded; see pad_problem),
+    A is (m_pad, 2), u0 is (m_pad,), and m_true the unpadded size.
+    """
+    r_ax, c_ax = mesh.axis_names
+    R = mesh.shape[r_ax]
+    C = mesh.shape[c_ax]
+
+    def pipeline_body(P1, P2, A, u0, m_true):
+        m_pad = P1.shape[0]
+        mr, mc = m_pad // R, m_pad // C
+        M_blk, C_blk = _affinity_block(invariant, P1, P2, A, m_true, mr, mc,
+                                       affinityeps, (r_ax, c_ax))
+        ops = sharded_operators(M_blk, C_blk, mc, (r_ax, c_ax))
+        u, F, ifinal = msrc.run_pga(ops, u0, params, dtype=P1.dtype)
+        return u, F, ifinal
+
+    shmapped = jax.shard_map(
+        pipeline_body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    rounding = params.rounding
+    if rounding == Rounding.DSD:
+        rounding = Rounding.NONZERO  # facade reruns DSD host-side
+
+    @jax.jit
+    def pipeline(P1, P2, A, u0, m_true):
+        u, F, ifinal = shmapped(P1, P2, A, u0,
+                                jnp.asarray(m_true, jnp.int32))
+        mask = msrc.round_solution(u, F, rounding)
+        return u, F, ifinal, mask
+
+    return pipeline
+
+
+def solve_sharded(invariant: PairwiseInvariant, D1, D2, A, u0,
+                  params: Params = Params(), mesh: Optional[Mesh] = None,
+                  *, affinityeps: float = 1e-4) -> Solution:
+    """End-to-end sharded solve of one large problem.
+
+    D1/D2 are (n, d) row-major datasets; A is (m, 2); u0 is (m,).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    R = mesh.shape[mesh.axis_names[0]]
+    C = mesh.shape[mesh.axis_names[1]]
+
+    A = jnp.asarray(A, jnp.int32)
+    m = A.shape[0]
+    P1 = jnp.asarray(D1)[A[:, 0]]
+    P2 = jnp.asarray(D2)[A[:, 1]]
+    u0 = jnp.asarray(u0, P1.dtype)
+
+    m_pad = _padded_size(m, R, C)
+    P1, P2, u0p = pad_problem(P1, P2, u0, m_pad)
+    A_pad = jnp.pad(A, ((0, m_pad - m), (0, 0)), constant_values=-1)
+
+    pipeline = build_sharded_pipeline(invariant, mesh, params, affinityeps)
+    u, F, ifinal, mask = pipeline(P1, P2, A_pad, u0p, m)
+    return Solution(ifinal=ifinal, mask=mask[:m], u0=u0, u=u[:m], score=F)

@@ -71,6 +71,33 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(mask, x, 0.0)) / jnp.maximum(cnt, 1)
 
 
+class PGAOperators(NamedTuple):
+    """Pluggable linear operators for the PGA loop.
+
+    Lets the identical loop run on a local dense matrix, a vmapped batch, or
+    a block-sharded distributed matrix (matvecs with psum/all_gather inside
+    shard_map) without duplicating the algorithm.
+    """
+
+    mv_M: Callable       # u -> M @ u
+    mv_C: Callable       # u -> C @ u
+    make_mv_Md: Callable  # d -> (u -> (M + d C) @ u), may precompute Md
+
+
+def dense_operators(M: jnp.ndarray, C: jnp.ndarray,
+                    fuse_md: bool = True) -> PGAOperators:
+    if fuse_md:
+        def make(d):
+            Md = M + d * C
+            return lambda u: Md @ u
+    else:
+        def make(d):
+            # reference: src/clipper.cpp:219 operation order (2 matvecs)
+            return lambda u: M @ u + (C @ u) * d
+    return PGAOperators(mv_M=lambda u: M @ u, mv_C=lambda u: C @ u,
+                        make_mv_Md=make)
+
+
 def find_dense_clique(
     M: jnp.ndarray,
     C: jnp.ndarray,
@@ -93,36 +120,31 @@ def find_dense_clique(
         (u, F, ifinal): final characteristic vector, objective value, and
         outer-iteration count (matching reference Solution.ifinal semantics).
     """
-    dtype = M.dtype
+    return run_pga(dense_operators(M, C, fuse_md), u0, params,
+                   dtype=M.dtype)
+
+
+def run_pga(ops: PGAOperators, u0: jnp.ndarray, params: Params,
+            *, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The PGA + homotopy loop over abstract matvec operators."""
+    dtype = dtype or u0.dtype
     u0 = u0.astype(dtype)
     eps = jnp.asarray(params.eps, dtype)
 
-    def gradF_two_mv(u, d, _Md):
-        # reference: src/clipper.cpp:219 operation order
-        return ((1.0 + d) * u - d * jnp.sum(u)
-                + M @ u + (C @ u) * d)
-
-    def gradF_fused(u, d, Md):
-        return (1.0 + d) * u - d * jnp.sum(u) + Md @ u
-
-    grad_fn: Callable = gradF_fused if fuse_md else gradF_two_mv
-
-    def make_Md(d):
-        if fuse_md:
-            return M + d * C
-        return M  # unused placeholder keeps loop-carried structure static
+    def grad_fn(u, d, mv_Md):
+        return (1.0 + d) * u - d * jnp.sum(u) + mv_Md(u)
 
     # ---- initialization (reference: src/clipper.cpp:193-209) ----
     if params.rescale_u0:
-        u = M @ u0 + u0
+        u = ops.mv_M(u0) + u0
     else:
         u = u0
     u = u / jnp.linalg.norm(u)
 
     def compute_d_terms(u):
-        Cbu = jnp.sum(u) - C @ u - u
+        Cbu = jnp.sum(u) - ops.mv_C(u) - u
         idxD = (Cbu > eps) & (u > eps)
-        Mu = M @ u + u
+        Mu = ops.mv_M(u) + u
         ratio = Mu / jnp.where(idxD, Cbu, 1.0)
         return Cbu, idxD, ratio
 
@@ -130,7 +152,7 @@ def find_dense_clique(
     d0 = jnp.where(jnp.any(idxD0), _masked_mean(ratio0, idxD0), 0.0).astype(dtype)
 
     # ---- line search (reference: src/clipper.cpp:234-252) ----
-    def line_search(u, gradF, F, d, Md):
+    def line_search(u, gradF, F, d, mv_Md):
         def cond(s: _LSState):
             return (~s.done) & (s.k < params.maxlsiters)
 
@@ -138,7 +160,7 @@ def find_dense_clique(
             unew = u + s.alpha * gradF                  # gradient step
             unew = jnp.maximum(unew, 0.0)               # project onto orthant
             unew = unew / jnp.linalg.norm(unew)         # project onto sphere
-            gradFnew = grad_fn(unew, d, Md)
+            gradFnew = grad_fn(unew, d, mv_Md)
             Fnew = jnp.dot(unew, gradFnew)
             deltaF = Fnew - F
             backtrack = deltaF < -eps
@@ -153,12 +175,13 @@ def find_dense_clique(
         return s.unew, s.gradFnew, s.Fnew, s.deltaF
 
     # ---- inner PGA loop (reference: src/clipper.cpp:226-261) ----
-    def inner_loop(u, gradF, F, d, Md):
+    def inner_loop(u, gradF, F, d, mv_Md):
         def cond(s: _InnerState):
             return (~s.converged) & (s.j < params.maxiniters)
 
         def body(s: _InnerState):
-            unew, gradFnew, Fnew, deltaF = line_search(s.u, s.gradF, s.F, d, Md)
+            unew, gradFnew, Fnew, deltaF = line_search(s.u, s.gradF, s.F, d,
+                                                       mv_Md)
             deltau = jnp.linalg.norm(unew - s.u)
             converged = (deltau < params.tol_u) | (jnp.abs(deltaF) < params.tol_F)
             return _InnerState(s.j + 1, unew, gradFnew, Fnew, converged)
@@ -172,10 +195,10 @@ def find_dense_clique(
         return (~s.done) & (s.i < params.maxoliters)
 
     def outer_body(s: _OuterState):
-        Md = make_Md(s.d)
-        gradF = grad_fn(s.u, s.d, Md)
+        mv_Md = ops.make_mv_Md(s.d)
+        gradF = grad_fn(s.u, s.d, mv_Md)
         F = jnp.dot(s.u, gradF)
-        u, F = inner_loop(s.u, gradF, F, s.d, Md)
+        u, F = inner_loop(s.u, gradF, F, s.d, mv_Md)
 
         _, idxD, ratio = compute_d_terms(u)
         active = jnp.any(idxD)

@@ -3,6 +3,9 @@
 Multi-device sharding is validated on a simulated host-platform mesh
 (no TPUs required); fp64 gives bit-level parity against the reference's
 double-precision semantics.
+
+Note: the environment's axon TPU plugin force-sets jax_platforms, so the env
+var alone is not enough — we override via jax.config before any backend use.
 """
 
 import os
@@ -15,6 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402

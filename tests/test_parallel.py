@@ -1,0 +1,133 @@
+"""Batched (vmap) and sharded (shard_map) engine tests on a virtual
+8-device CPU mesh — capability the reference entirely lacks (SURVEY.md §2:
+no DP/TP/multi-device of any kind)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+import clipper_tpu as ct
+from clipper_tpu.parallel import batched, sharded
+from clipper_tpu.solvers.msrc import round_solution
+
+
+def make_problem(rng, n=80, n_inliers=30, m=96):
+    D1 = rng.uniform(size=(n, 3))
+    th = rng.uniform(0, np.pi)
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0],
+                  [0, 0, 1]])
+    D2 = D1 @ R.T + rng.normal(0, 0.001, size=(n, 3))
+    A = np.zeros((m, 2), dtype=np.int32)
+    A[:n_inliers, 0] = A[:n_inliers, 1] = np.arange(n_inliers)
+    A[n_inliers:, 0] = rng.integers(0, n, m - n_inliers)
+    A[n_inliers:, 1] = rng.integers(0, n, m - n_inliers)
+    return D1, D2, A
+
+
+INV = ct.EuclideanDistance(ct.EuclideanDistanceParams(sigma=0.015,
+                                                      epsilon=0.05))
+
+
+def dense_solve(D1, D2, A, u0):
+    M, C = ct.score_pairwise_consistency(INV, jnp.asarray(D1),
+                                         jnp.asarray(D2), jnp.asarray(A))
+    u, F, i = ct.find_dense_clique(M, C, jnp.asarray(u0), ct.Params())
+    return np.asarray(u), float(F), np.asarray(round_solution(u, F))
+
+
+def test_batched_matches_sequential():
+    rng = np.random.default_rng(0)
+    B = 4
+    problems = [make_problem(rng) for _ in range(B)]
+    u0s = rng.uniform(size=(B, 96))
+
+    pipe = batched.make_batched_pipeline(INV, ct.Params())
+    solns = pipe(jnp.stack([jnp.asarray(p[0]) for p in problems]),
+                 jnp.stack([jnp.asarray(p[1]) for p in problems]),
+                 jnp.stack([jnp.asarray(p[2]) for p in problems]),
+                 jnp.asarray(u0s))
+
+    for b, (D1, D2, A) in enumerate(problems):
+        u_ref, F_ref, mask_ref = dense_solve(D1, D2, A, u0s[b])
+        np.testing.assert_allclose(np.asarray(solns.u[b]), u_ref, atol=1e-8)
+        assert (np.asarray(solns.mask[b]) == mask_ref).all()
+
+
+def test_batched_sharded_over_mesh():
+    """Batch axis sharded over all 8 virtual devices (data parallelism)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    rng = np.random.default_rng(1)
+    B = 8
+    problems = [make_problem(rng) for _ in range(B)]
+    u0s = rng.uniform(size=(B, 96))
+
+    mesh = Mesh(np.array(jax.devices()), ("b",))
+    args = (jnp.stack([jnp.asarray(p[0]) for p in problems]),
+            jnp.stack([jnp.asarray(p[1]) for p in problems]),
+            jnp.stack([jnp.asarray(p[2]) for p in problems]),
+            jnp.asarray(u0s))
+    args = batched.shard_batch(args, mesh)
+    pipe = batched.make_batched_pipeline(INV, ct.Params())
+    solns = pipe(*args)
+
+    u_ref, F_ref, mask_ref = dense_solve(*problems[3], u0s[3])
+    np.testing.assert_allclose(np.asarray(solns.u[3]), u_ref, atol=1e-8)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (1, 8), (8, 1), (2, 2)])
+def test_sharded_matches_dense(shape):
+    if len(jax.devices()) < shape[0] * shape[1]:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(2)
+    D1, D2, A = make_problem(rng, m=96)
+    u0 = rng.uniform(size=96)
+
+    u_ref, F_ref, mask_ref = dense_solve(D1, D2, A, u0)
+
+    mesh = sharded.make_mesh(shape)
+    soln = sharded.solve_sharded(INV, D1, D2, A, u0, ct.Params(), mesh)
+    np.testing.assert_allclose(np.asarray(soln.u), u_ref, atol=1e-8)
+    assert abs(float(soln.score) - F_ref) < 1e-6
+    assert (np.asarray(soln.mask) == mask_ref).all()
+
+
+def test_sharded_padding_exactness():
+    """m not divisible by the mesh: zero-padding must be exact."""
+    rng = np.random.default_rng(3)
+    D1, D2, A = make_problem(rng, m=91)  # 91 not divisible by 2 or 4
+    u0 = rng.uniform(size=91)
+    u_ref, F_ref, mask_ref = dense_solve(D1, D2, A, u0)
+
+    mesh = sharded.make_mesh((2, 4))
+    soln = sharded.solve_sharded(INV, D1, D2, A, u0, ct.Params(), mesh)
+    assert soln.u.shape == (91,)
+    np.testing.assert_allclose(np.asarray(soln.u), u_ref, atol=1e-8)
+    assert (np.asarray(soln.mask) == mask_ref).all()
+
+
+def test_sharded_affinity_blocks_match_dense():
+    """The block-built M/C must tile exactly into the dense build."""
+    rng = np.random.default_rng(4)
+    D1, D2, A = make_problem(rng, m=96)
+    M, C = ct.score_pairwise_consistency(INV, jnp.asarray(D1),
+                                         jnp.asarray(D2), jnp.asarray(A))
+
+    mesh = sharded.make_mesh((2, 4))
+    P1 = jnp.asarray(D1)[A[:, 0]]
+    P2 = jnp.asarray(D2)[A[:, 1]]
+
+    def body(P1, P2, Aj):
+        return sharded._affinity_block(INV, P1, P2, Aj, 96, 48, 24, 1e-4)
+
+    blocks = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=(P("r", "c"), P("r", "c")), check_vma=False))(
+        P1, P2, jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(blocks[0]), np.asarray(M),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(blocks[1]), np.asarray(C),
+                               atol=1e-12)
