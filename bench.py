@@ -1,0 +1,91 @@
+"""Headline benchmark: batched n=1k registration problems on one TPU chip.
+
+Protocol: the reference's bunny benchmark operating point (m=1024 putative
+associations, 90% outliers, noise sigma=0.01 bounded at 5.54 sigma, Euclidean
+invariant sigma=0.015 eps=0.05 — reference: benchmarks/main.cpp:31-33,206-208)
+solved end-to-end (affinity build + PGA solve + rounding) for a whole batch of
+independent problems in one vmapped device program.
+
+Baseline: the reference's published 70 ms end-to-end solve of a 1000-assoc
+problem on an i9 with MKL (reference: README.md:85) = 14.3 problems/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compilation cache: the nested-while-loop pipeline is slow to
+    # compile through the device tunnel; cache makes reruns instant
+    jax.config.update("jax_compilation_cache_dir", "/tmp/clipper_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from clipper_tpu.bench import data, harness
+    from clipper_tpu.parallel import batched
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    m = 1024
+    rho = 0.9
+    dtype = jnp.float32
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    pcd0 = harness.load_bunny()
+
+    problems = [harness.make_problem(pcd0, m, rho, rng) for _ in range(B)]
+    D1 = jnp.asarray(pcd0, dtype)
+    D2s = jnp.stack([jnp.asarray(p[0], dtype) for p in problems])
+    As = jnp.stack([jnp.asarray(p[1], jnp.int32) for p in problems])
+    from clipper_tpu import utils
+    u0s = jax.vmap(lambda k: utils.randvec(k, m, dtype=dtype))(
+        jax.random.split(key, B))
+
+    inv = harness.default_invariant()
+    from clipper_tpu.types import Params
+    pipe = batched.make_batched_pipeline(inv, Params(), shared_d1=True)
+
+    # compile + warm up (force a host fetch: through the device tunnel,
+    # block_until_ready alone can return before execution completes)
+    solns = pipe(D1, D2s, As, u0s)
+    np.asarray(solns.score)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        solns = pipe(D1, D2s, As, u0s)
+        np.asarray(solns.score)
+    elapsed = (time.perf_counter() - t0) / reps
+
+    throughput = B / elapsed
+
+    masks = np.asarray(solns.mask)
+    ps, rs = [], []
+    for b, (_, A, Agt) in enumerate(problems):
+        p, r = data.get_precision_recall(A[masks[b]], Agt)
+        ps.append(p)
+        rs.append(r)
+
+    baseline = 1.0 / 0.070  # reference: 70 ms / problem end-to-end
+    result = {
+        "metric": "end-to-end solved problems/sec (batched m=1024 @ 90% outliers, bunny)",
+        "value": round(throughput, 3),
+        "unit": "problems/s",
+        "vs_baseline": round(throughput / baseline, 2),
+    }
+    # context for humans (not parsed): stderr
+    print(f"batch={B} elapsed={elapsed*1000:.1f}ms/batch "
+          f"precision={np.mean(ps)*100:.1f}% recall={np.mean(rs)*100:.1f}% "
+          f"platform={jax.devices()[0].platform}", file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+// Maximum-clique solver: k-core peeling, greedy heuristic, and exact
+// branch & bound with greedy-coloring bounds (Tomita-style).
+//
+// Host-side C++ component of clipper_tpu. The reference wraps the external
+// PMC library (reference: src/maxclique.cpp:47-147); this is our own
+// self-contained implementation with the same method semantics:
+//   EXACT (0): k-core prune + coloring branch & bound ("ROBIN*")
+//   HEU   (1): k-core-ordered greedy heuristic lower bound ("ROBIN" heu)
+//   KCORE (2): vertices with core number >= max core
+//
+// C ABI for ctypes:
+//   mc_solve(n, adj, method, time_limit_s, out_nodes) -> clique size
+//     adj: row-major n*n uint8 adjacency (nonzero = edge), diagonal ignored
+//   mc_core_numbers(n, adj, out_core) -> max core
+
+#include <algorithm>
+#include <chrono>
+#include <cstdint>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+using Clock = std::chrono::steady_clock;
+
+struct BitGraph {
+  int64_t n;
+  int64_t words;
+  std::vector<uint64_t> adj;  // n rows of `words` 64-bit words
+
+  BitGraph(int64_t n_, const uint8_t* a) : n(n_), words((n_ + 63) / 64),
+                                           adj(n_ * words, 0) {
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t j = 0; j < n; ++j)
+        if (i != j && a[i * n + j])
+          adj[i * words + j / 64] |= (1ull << (j % 64));
+  }
+
+  bool connected(int64_t i, int64_t j) const {
+    return (adj[i * words + j / 64] >> (j % 64)) & 1;
+  }
+
+  const uint64_t* row(int64_t i) const { return &adj[i * words]; }
+};
+
+// Peeling-based core decomposition (bucket queue, O(V + E)).
+int64_t core_numbers(int64_t n, const uint8_t* a, std::vector<int64_t>& core) {
+  std::vector<int64_t> deg(n, 0);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t j = 0; j < n; ++j)
+      if (i != j && a[i * n + j]) deg[i]++;
+
+  const int64_t maxdeg = n ? *std::max_element(deg.begin(), deg.end()) : 0;
+  std::vector<std::vector<int64_t>> bins(maxdeg + 1);
+  for (int64_t v = 0; v < n; ++v) bins[deg[v]].push_back(v);
+
+  core.assign(n, 0);
+  std::vector<uint8_t> removed(n, 0);
+  std::vector<int64_t> d = deg;
+  int64_t maxcore = 0;
+  for (int64_t k = 0; k <= maxdeg; ++k) {
+    for (size_t bi = 0; bi < bins[k].size(); ++bi) {  // bin grows during loop
+      const int64_t v = bins[k][bi];
+      if (removed[v] || d[v] > k) continue;
+      removed[v] = 1;
+      core[v] = k;
+      maxcore = std::max(maxcore, k);
+      for (int64_t u = 0; u < n; ++u) {
+        if (u != v && a[v * n + u] && !removed[u]) {
+          if (--d[u] <= k) bins[k].push_back(u);
+          else bins[d[u]].push_back(u);
+        }
+      }
+    }
+  }
+  return maxcore;
+}
+
+// Greedy clique heuristic: grow from each of the highest-core seeds.
+std::vector<int64_t> greedy_heuristic(const BitGraph& g,
+                                      const std::vector<int64_t>& core) {
+  const int64_t n = g.n;
+  std::vector<int64_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(),
+            [&](int64_t x, int64_t y) { return core[x] > core[y]; });
+
+  std::vector<int64_t> best;
+  const int64_t seeds = std::min<int64_t>(n, 64);
+  for (int64_t s = 0; s < seeds; ++s) {
+    const int64_t v = order[s];
+    if (core[v] + 1 <= static_cast<int64_t>(best.size())) break;
+    std::vector<int64_t> clique{v};
+    for (int64_t t = 0; t < n; ++t) {
+      const int64_t u = order[t];
+      if (u == v) continue;
+      bool ok = true;
+      for (int64_t w : clique)
+        if (!g.connected(u, w)) { ok = false; break; }
+      if (ok) clique.push_back(u);
+    }
+    if (clique.size() > best.size()) best = clique;
+  }
+  return best;
+}
+
+// Exact branch & bound with greedy coloring upper bounds.
+struct BnB {
+  const BitGraph& g;
+  std::vector<int64_t> best;
+  std::vector<int64_t> current;
+  Clock::time_point deadline;
+  bool timed_out = false;
+
+  BnB(const BitGraph& g_, double time_limit_s)
+      : g(g_), deadline(Clock::now() +
+                        std::chrono::duration_cast<Clock::duration>(
+                            std::chrono::duration<double>(
+                                time_limit_s > 0 ? time_limit_s : 1e9))) {}
+
+  // candidates sorted ascending by color bound; expand highest-bound last
+  void expand(std::vector<int64_t>& cand) {
+    if (Clock::now() > deadline) { timed_out = true; return; }
+    // greedy coloring: assign each candidate the smallest color class whose
+    // members it has no edge to; bound = current clique + color count
+    const size_t nc = cand.size();
+    std::vector<int64_t> color(nc);
+    std::vector<std::vector<int64_t>> classes;
+    for (size_t i = 0; i < nc; ++i) {
+      const int64_t v = cand[i];
+      size_t c = 0;
+      for (; c < classes.size(); ++c) {
+        bool clash = false;
+        for (int64_t u : classes[c])
+          if (g.connected(v, u)) { clash = true; break; }
+        if (!clash) break;
+      }
+      if (c == classes.size()) classes.emplace_back();
+      classes[c].push_back(v);
+      color[i] = static_cast<int64_t>(c) + 1;
+    }
+    // order candidates by color (ascending); process from the back
+    std::vector<int64_t> idx(nc);
+    std::iota(idx.begin(), idx.end(), 0);
+    std::sort(idx.begin(), idx.end(),
+              [&](int64_t a, int64_t b) { return color[a] < color[b]; });
+    std::vector<int64_t> ordered(nc), ocolor(nc);
+    for (size_t i = 0; i < nc; ++i) {
+      ordered[i] = cand[idx[i]];
+      ocolor[i] = color[idx[i]];
+    }
+
+    for (int64_t i = static_cast<int64_t>(nc) - 1; i >= 0; --i) {
+      if (timed_out) return;
+      if (static_cast<int64_t>(current.size()) + ocolor[i] <=
+          static_cast<int64_t>(best.size()))
+        return;  // bound: cannot beat incumbent
+      const int64_t v = ordered[i];
+      current.push_back(v);
+      std::vector<int64_t> next;
+      for (int64_t k = 0; k < i; ++k)
+        if (g.connected(v, ordered[k])) next.push_back(ordered[k]);
+      if (next.empty()) {
+        if (current.size() > best.size()) best = current;
+      } else {
+        expand(next);
+      }
+      current.pop_back();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t mc_core_numbers(int64_t n, const uint8_t* adj, int64_t* out_core) {
+  std::vector<int64_t> core;
+  const int64_t maxcore = core_numbers(n, adj, core);
+  std::copy(core.begin(), core.end(), out_core);
+  return maxcore;
+}
+
+int64_t mc_solve(int64_t n, const uint8_t* adj, int64_t method,
+                 double time_limit_s, int64_t* out_nodes) {
+  std::vector<int64_t> core;
+  const int64_t maxcore = core_numbers(n, adj, core);
+
+  if (method == 2) {  // KCORE: vertices with core number >= max core
+    int64_t num = 0;
+    for (int64_t v = 0; v < n; ++v)
+      if (core[v] >= maxcore) out_nodes[num++] = v;
+    return num;
+  }
+
+  BitGraph g(n, adj);
+  std::vector<int64_t> heu = greedy_heuristic(g, core);
+
+  if (method == 1 ||  // HEU only
+      static_cast<int64_t>(heu.size()) == maxcore + 1) {  // heu hit the ub
+    std::sort(heu.begin(), heu.end());
+    std::copy(heu.begin(), heu.end(), out_nodes);
+    return static_cast<int64_t>(heu.size());
+  }
+
+  // EXACT: k-core prune to vertices that could extend past the incumbent,
+  // then coloring branch & bound
+  BnB bnb(g, time_limit_s);
+  bnb.best = heu;
+  std::vector<int64_t> cand;
+  for (int64_t v = 0; v < n; ++v)
+    if (core[v] + 1 > static_cast<int64_t>(heu.size())) cand.push_back(v);
+  if (!cand.empty()) bnb.expand(cand);
+
+  std::sort(bnb.best.begin(), bnb.best.end());
+  std::copy(bnb.best.begin(), bnb.best.end(), out_nodes);
+  return static_cast<int64_t>(bnb.best.size());
+}
+
+}  // extern "C"

@@ -1,0 +1,98 @@
+"""SDP relaxation (MSRC-SDR) tests.
+
+The reference's SDP test is an unasserted smoke test
+(reference: test/sdp_test.cpp:59-62). We go further: the toy-scene
+get/set integration tests (reference: test/clipper_test.cpp:72-207 route
+through solveAsMSRCSDR) must select the identity associations, and the
+relaxation must agree with the PGA solver on planted-clique problems.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import clipper_tpu as ct
+from clipper_tpu.solvers import sdp
+
+from test_affinity import make_scene
+from test_dsd import golden_matrix
+
+
+def test_sdr_toy_scene_get_set():
+    """reference: test/clipper_test.cpp:72-134 (dense get/set + SDP)."""
+    model, data = make_scene()
+    clipper = ct.Clipper(ct.EuclideanDistance(), ct.Params())
+    clipper.score_pairwise_consistency(model, data)
+
+    M = clipper.get_affinity_matrix()
+    C = clipper.get_constraint_matrix()
+
+    clipper2 = ct.Clipper(ct.EuclideanDistance(), ct.Params())
+    clipper2.set_matrix_data(M, C, A=clipper.get_initial_associations())
+    clipper2.solve_as_msrc_sdr()
+
+    Ain = clipper2.get_selected_associations()
+    assert Ain.shape[0] == 3
+    np.testing.assert_array_equal(Ain[:, 0], Ain[:, 1])
+
+
+def test_sdr_sparse_get_set():
+    """reference: test/clipper_test.cpp:138-207 (sparse get/set + SDP)."""
+    import scipy.sparse as sp
+
+    model, data = make_scene()
+    clipper = ct.Clipper(ct.EuclideanDistance(), ct.Params())
+    clipper.score_pairwise_consistency(model, data)
+    M = np.asarray(clipper.get_affinity_matrix())
+    C = np.asarray(clipper.get_constraint_matrix())
+    Ms = sp.csr_matrix(np.triu(M, 1))
+    Cs = sp.csr_matrix(np.triu(C, 1))
+
+    clipper2 = ct.Clipper(ct.EuclideanDistance(), ct.Params())
+    clipper2.set_sparse_matrix_data(Ms, Cs, A=clipper.get_initial_associations())
+    clipper2.solve_as_msrc_sdr()
+
+    Ain = clipper2.get_selected_associations()
+    assert Ain.shape[0] == 3
+    np.testing.assert_array_equal(Ain[:, 0], Ain[:, 1])
+
+
+def test_sdr_smoke_20x20():
+    """The reference's smoke matrix (reference: test/sdp_test.cpp:15-43),
+    with real assertions: the SDR should pick the dense cluster that the
+    DSD oracle identifies."""
+    M = golden_matrix()
+    C = (M > 0).astype(float)
+    soln = sdp.solve(M, C)
+    assert soln.iters > 0
+    # X feasible: PSD-ish, unit trace, nonneg where allowed
+    assert abs(np.trace(soln.X) - 1.0) < 1e-2
+    assert soln.lambdas.min() > -1e-6
+    # the selected nodes must form a feasible clique in C (every pair
+    # connected) — the MSRC optimum here is the heavy triangle {8, 9, 16}
+    # (w=2.79 incl. diagonal; the DSD densest subgraph {3,5,12,14,15} is NOT
+    # a clique in C, so the zero-cone constraints exclude it)
+    assert len(soln.nodes) >= 3
+    for a in soln.nodes:
+        for b in soln.nodes:
+            assert C[a, b] != 0
+    assert set(soln.nodes) == {8, 9, 16}
+    # objective beats the rank-1 value of that clique: 1 + 2 w(S)/|S|
+    w = sum(M[a, b] for a in soln.nodes for b in soln.nodes if a < b)
+    assert soln.pobj >= 1 + 2 * w / 3 - 1e-2
+
+
+def test_sdr_planted_clique():
+    rng = np.random.default_rng(0)
+    n = 40
+    W = np.triu(rng.uniform(0, 0.2, size=(n, n)) *
+                (rng.uniform(size=(n, n)) < 0.2), 1)
+    clique = [4, 11, 19, 26, 33, 38]
+    for a in range(len(clique)):
+        for b in range(a + 1, len(clique)):
+            W[clique[a], clique[b]] = 1.0
+    M = W + W.T + np.eye(n)
+    C = (M > 0).astype(float)
+    soln = sdp.solve(M, C)
+    assert set(soln.nodes) == set(clique)
