@@ -11,6 +11,19 @@ vmap for thousands of independent registration problems per chip, shard_map +
 collectives for single problems with 100k+ associations across a device mesh.
 """
 
+import os as _os
+
+# The environment's TPU plugin force-appends itself to jax_platforms,
+# breaking the standard JAX_PLATFORMS env-var contract. Restore it: an
+# explicitly set JAX_PLATFORMS wins.
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from clipper_tpu.types import Params, Rounding, Solution
 from clipper_tpu.clipper import Clipper, CLIPPER
 from clipper_tpu.invariants import (

@@ -71,6 +71,26 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(mask, x, 0.0)) / jnp.maximum(cnt, 1)
 
 
+# Dtype-aware numerical thresholds.
+#
+# The reference hardcodes eps = 1e-9 "to replace 0 with 100x machine epsilon"
+# (reference: matlab/clipper.m:58, clipper.h:40) — calibrated for double
+# precision. Run naively in f32, entries of Cb u that should be exactly zero
+# carry ~1e-6 rounding noise, pass the 1e-9 activity test, and the d-update
+# ratio Mu/Cbu with a noise denominator explodes the penalty — collapsing the
+# solve. We therefore floor every threshold at 100x the dtype's machine
+# epsilon times the quantity's scale. In f64 the floor is ~1e-14 and the
+# reference values dominate: bit-exact parity. In f32 the floors take over
+# and both correctness and convergence speed are restored.
+_EPS_FACTOR = 100.0
+
+
+def _eps_like(params_eps, scale, dtype):
+    mach = jnp.finfo(dtype).eps
+    return jnp.maximum(jnp.asarray(params_eps, dtype),
+                       (_EPS_FACTOR * mach) * scale)
+
+
 class PGAOperators(NamedTuple):
     """Pluggable linear operators for the PGA loop.
 
@@ -142,8 +162,10 @@ def run_pga(ops: PGAOperators, u0: jnp.ndarray, params: Params,
     u = u / jnp.linalg.norm(u)
 
     def compute_d_terms(u):
-        Cbu = jnp.sum(u) - ops.mv_C(u) - u
-        idxD = (Cbu > eps) & (u > eps)
+        su = jnp.sum(u)
+        Cbu = su - ops.mv_C(u) - u
+        eps_d = _eps_like(params.eps, su, dtype)
+        idxD = (Cbu > eps_d) & (u > eps)
         Mu = ops.mv_M(u) + u
         ratio = Mu / jnp.where(idxD, Cbu, 1.0)
         return Cbu, idxD, ratio
@@ -163,7 +185,7 @@ def run_pga(ops: PGAOperators, u0: jnp.ndarray, params: Params,
             gradFnew = grad_fn(unew, d, mv_Md)
             Fnew = jnp.dot(unew, gradFnew)
             deltaF = Fnew - F
-            backtrack = deltaF < -eps
+            backtrack = deltaF < -_eps_like(params.eps, jnp.abs(F), dtype)
             return _LSState(s.k + 1,
                             jnp.where(backtrack, s.alpha * params.beta, s.alpha),
                             unew, gradFnew, Fnew, deltaF, ~backtrack)
@@ -183,7 +205,9 @@ def run_pga(ops: PGAOperators, u0: jnp.ndarray, params: Params,
             unew, gradFnew, Fnew, deltaF = line_search(s.u, s.gradF, s.F, d,
                                                        mv_Md)
             deltau = jnp.linalg.norm(unew - s.u)
-            converged = (deltau < params.tol_u) | (jnp.abs(deltaF) < params.tol_F)
+            tol_u = _eps_like(params.tol_u, 1.0, dtype)   # ||u|| = 1
+            tol_F = _eps_like(params.tol_F, jnp.abs(Fnew), dtype)
+            converged = (deltau < tol_u) | (jnp.abs(deltaF) < tol_F)
             return _InnerState(s.j + 1, unew, gradFnew, Fnew, converged)
 
         init = _InnerState(jnp.int32(0), u, gradF, F, jnp.asarray(False))

@@ -1,0 +1,201 @@
+"""Flattened MSRC solver: a per-lane state machine for efficient batching.
+
+The reference algorithm is a triple-nested loop (outer homotopy / inner
+ascent / backtracking line search — reference: src/clipper.cpp:218-281).
+vmapping that nest directly is catastrophic for batches: each lax.while_loop
+level runs until the LAST lane finishes, so lanes pay the max-of-products of
+iteration counts across the batch.
+
+This module flattens the nest into a single while_loop where one tick equals
+one line-search probe (the unit of work: one dual matvec M u, C u). Every
+lane carries its own (outer i, inner j, line-search k, alpha, d) state and
+transitions independently:
+
+    tick:  unew = P(u + alpha * gradF)          [project + normalize]
+           (Mu, Cu) = dual_matvec(unew)          <-- ALL the O(m^2) work
+           gradFnew, Fnew from (Mu, Cu)          [reference: clipper.cpp:238-242]
+           backtrack?   -> alpha *= beta         [clipper.cpp:246-248]
+           accept?      -> u, gradF, F update; inner step  [clipper.cpp:253-258]
+           inner done?  -> d update from the SAME (Mu, Cu); refresh gradF/F
+                           for the new d with no extra matvec [clipper.cpp:268-276,219]
+
+Total ticks = max over lanes of that lane's own probe count — the SIMD
+optimum. Per-lane arithmetic is identical to the reference loop (validated
+tick-for-tick against the nested solver in tests).
+
+The dual matvec is pluggable: the default stacks [M; C] into one batched
+matmul; a fused Pallas kernel (ops/fused_matvec.py) computes both from ONE
+read of M when C is the 0/1 pattern of M — half the HBM traffic of the
+stacked form.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from clipper_tpu.solvers import msrc
+from clipper_tpu.types import Params, Rounding, Solution
+
+
+class _FlatState(NamedTuple):
+    u: jnp.ndarray        # (m,) accepted iterate
+    gradF: jnp.ndarray    # (m,) gradient at u for current d
+    F: jnp.ndarray        # () objective at u
+    d: jnp.ndarray        # () homotopy penalty
+    alpha: jnp.ndarray    # () line-search step size
+    lsk: jnp.ndarray      # () line-search iteration k
+    j: jnp.ndarray        # () inner iteration count
+    i: jnp.ndarray        # () outer iteration count
+    done: jnp.ndarray     # () lane finished
+    ticks: jnp.ndarray    # () diagnostic probe count
+
+
+def _grad_from_mv(u, d, Mu, Cu):
+    """gradF = (1 + d) u - d 1 sum(u) + M u + d C u (reference: clipper.cpp:219)."""
+    return (1.0 + d) * u - d * jnp.sum(u) + Mu + Cu * d
+
+
+def flat_solve_single(
+    dual_matvec: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    u0: jnp.ndarray,
+    params: Params = Params(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One lane of the flattened solver. vmap this for batches.
+
+    dual_matvec(u) must return (M @ u, C @ u).
+    Returns (u, F, ifinal) with reference semantics.
+    """
+    dtype = u0.dtype
+    eps = jnp.asarray(params.eps, dtype)
+
+    def d_terms(u, Mu, Cu):
+        su = jnp.sum(u)
+        Cbu = su - Cu - u
+        # dtype-aware activity threshold (see msrc._eps_like)
+        eps_d = msrc._eps_like(params.eps, su, dtype)
+        idxD = (Cbu > eps_d) & (u > eps)
+        num = Mu + u
+        ratio = num / jnp.where(idxD, Cbu, 1.0)
+        return idxD, ratio
+
+    # ---- init (reference: clipper.cpp:193-209) ----
+    Mu0, _ = dual_matvec(u0)
+    if params.rescale_u0:
+        u = Mu0 + u0
+    else:
+        u = u0
+    u = u / jnp.linalg.norm(u)
+    Mu, Cu = dual_matvec(u)
+    idxD, ratio = d_terms(u, Mu, Cu)
+    d0 = jnp.where(jnp.any(idxD), msrc._masked_mean(ratio, idxD), 0.0)
+    d0 = d0.astype(dtype)
+    gradF0 = _grad_from_mv(u, d0, Mu, Cu)
+    F0 = jnp.dot(u, gradF0)
+
+    one = jnp.asarray(1.0, dtype)
+
+    def cond(s: _FlatState):
+        return ~s.done
+
+    def body(s: _FlatState):
+        # ---- probe (reference: clipper.cpp:235-242) ----
+        unew = jnp.maximum(s.u + s.alpha * s.gradF, 0.0)
+        unew = unew / jnp.linalg.norm(unew)
+        Mu, Cu = dual_matvec(unew)
+        gradFnew = _grad_from_mv(unew, s.d, Mu, Cu)
+        Fnew = jnp.dot(unew, gradFnew)
+        deltaF = Fnew - s.F
+
+        # ---- line-search decision (reference: clipper.cpp:246-251) ----
+        # candidate accepted when objective did not decrease, or when the
+        # line-search budget is exhausted (last candidate is kept).
+        eps_ls = msrc._eps_like(params.eps, jnp.abs(s.F), dtype)
+        backtrack = (deltaF < -eps_ls) & (s.lsk + 1 < params.maxlsiters)
+        accept = ~backtrack
+
+        # ---- inner-step update on accept (reference: clipper.cpp:253-261) ----
+        deltau = jnp.linalg.norm(unew - s.u)
+        tol_u = msrc._eps_like(params.tol_u, 1.0, dtype)
+        tol_F = msrc._eps_like(params.tol_F, jnp.abs(Fnew), dtype)
+        inner_conv = (deltau < tol_u) | (jnp.abs(deltaF) < tol_F)
+        j_next = s.j + 1
+        inner_done = accept & (inner_conv | (j_next >= params.maxiniters))
+
+        # ---- outer transition (reference: clipper.cpp:268-280, 218-220) ----
+        idxD, ratio = d_terms(unew, Mu, Cu)
+        active = jnp.any(idxD)
+        deltad = msrc._masked_mean(jnp.abs(ratio), idxD)
+        d_new = s.d + deltad
+        i_next = jnp.where(active, s.i + 1, s.i)
+        outer_exhausted = i_next >= params.maxoliters
+        lane_done = inner_done & (~active | outer_exhausted)
+
+        # refreshed gradient/objective for the new d (same Mu/Cu — this IS
+        # the matvec the reference recomputes at clipper.cpp:219)
+        grad_refresh = _grad_from_mv(unew, d_new, Mu, Cu)
+        F_refresh = jnp.dot(unew, grad_refresh)
+
+        take_outer = inner_done & active & ~outer_exhausted
+
+        u_out = jnp.where(accept, unew, s.u)
+        gradF_out = jnp.where(take_outer, grad_refresh,
+                              jnp.where(accept, gradFnew, s.gradF))
+        F_out = jnp.where(take_outer, F_refresh,
+                          jnp.where(accept, Fnew, s.F))
+        d_out = jnp.where(take_outer, d_new, s.d)
+        alpha_out = jnp.where(accept, one, s.alpha * params.beta)
+        lsk_out = jnp.where(accept, 0, s.lsk + 1)
+        j_out = jnp.where(inner_done, 0, jnp.where(accept, j_next, s.j))
+        i_out = jnp.where(inner_done, i_next, s.i)
+
+        # frozen lanes keep their state (vmap: other lanes may still run)
+        frz = s.done
+        return _FlatState(
+            u=jnp.where(frz, s.u, u_out),
+            gradF=jnp.where(frz, s.gradF, gradF_out),
+            F=jnp.where(frz, s.F, F_out),
+            d=jnp.where(frz, s.d, d_out),
+            alpha=jnp.where(frz, s.alpha, alpha_out),
+            lsk=jnp.where(frz, s.lsk, lsk_out),
+            j=jnp.where(frz, s.j, j_out),
+            i=jnp.where(frz, s.i, i_out),
+            done=s.done | lane_done,
+            ticks=jnp.where(frz, s.ticks, s.ticks + 1),
+        )
+
+    init = _FlatState(u=u, gradF=gradF0, F=F0, d=d0, alpha=one,
+                      lsk=jnp.int32(0), j=jnp.int32(0), i=jnp.int32(0),
+                      done=jnp.asarray(False), ticks=jnp.int32(0))
+    s = jax.lax.while_loop(cond, body, init)
+    return s.u, s.F, s.i
+
+
+def stacked_dual_matvec(M: jnp.ndarray, C: jnp.ndarray):
+    """Default dual matvec: one matmul over the stacked [M; C] matrix."""
+    MC = jnp.concatenate([M, C], axis=0)   # (2m, m)
+    m = M.shape[0]
+
+    def mv(u):
+        y = MC @ u
+        return y[:m], y[m:]
+
+    return mv
+
+
+def solve_batched(Ms: jnp.ndarray, Cs: jnp.ndarray, u0s: jnp.ndarray,
+                  params: Params = Params()) -> Solution:
+    """Batched flat solve over (B, m, m) matrices. Jit-friendly."""
+
+    def one(M, C, u0):
+        u, F, ifinal = flat_solve_single(stacked_dual_matvec(M, C), u0, params)
+        rounding = params.rounding
+        if rounding == Rounding.DSD:
+            rounding = Rounding.NONZERO
+        mask = msrc.round_solution(u, F, rounding)
+        return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=F)
+
+    return jax.vmap(one)(Ms, Cs, u0s)

@@ -1,0 +1,34 @@
+"""The shipped examples must run end-to-end and assert their own results."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+
+
+def run_example(name):
+    import os
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, str(EXAMPLES / name)],
+                       capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, f"{name} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
+def test_ex1():
+    out = run_example("ex1_known_scale_registration.py")
+    assert "selected 3 associations" in out
+
+
+def test_ex3():
+    out = run_example("ex3_plane_cloud.py")
+    assert "recovered rotation" in out
+
+
+@pytest.mark.slow
+def test_ex4():
+    out = run_example("ex4_bunny.py")
+    assert "precision" in out

@@ -1,0 +1,85 @@
+"""Flat (state-machine) solver vs nested solver parity tests.
+
+The flattened batched engine must produce exactly the same iterates as the
+nested reference-parity solver — same probes, same arithmetic, per lane.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import clipper_tpu as ct
+from clipper_tpu.solvers import msrc, msrc_flat
+
+from test_affinity import make_scene
+
+
+def random_graph(rng, m=32, density=0.4):
+    W = rng.uniform(size=(m, m))
+    keep = np.triu(rng.uniform(size=(m, m)) < density, 1)
+    Mu_ = np.where(keep, np.triu((W + W.T) / 2, 1), 0.0)
+    M = Mu_ + Mu_.T
+    C = (M > 0).astype(np.float64)
+    return M, C
+
+
+def test_flat_matches_nested_random():
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        M, C = random_graph(rng)
+        u0 = rng.uniform(size=M.shape[0])
+        u_n, F_n, i_n = jax.jit(
+            lambda M, C, u0: msrc.find_dense_clique(M, C, u0, ct.Params(),
+                                                    fuse_md=False))(
+            jnp.asarray(M), jnp.asarray(C), jnp.asarray(u0))
+        u_f, F_f, i_f = jax.jit(
+            lambda M, C, u0: msrc_flat.flat_solve_single(
+                msrc_flat.stacked_dual_matvec(M, C), u0, ct.Params()))(
+            jnp.asarray(M), jnp.asarray(C), jnp.asarray(u0))
+        np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_n),
+                                   atol=1e-12, err_msg=f"trial {trial}")
+        assert abs(float(F_f) - float(F_n)) < 1e-10
+        assert int(i_f) == int(i_n)
+
+
+def test_flat_matches_nested_scene():
+    model, data = make_scene()
+    clipper = ct.Clipper(ct.EuclideanDistance(), ct.Params())
+    clipper.score_pairwise_consistency(model, data)
+    M, C = clipper._M, clipper._C
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        u0 = jnp.asarray(rng.uniform(size=M.shape[0]))
+        u_n, F_n, i_n = msrc.find_dense_clique(M, C, u0, ct.Params(),
+                                               fuse_md=False)
+        u_f, F_f, i_f = msrc_flat.flat_solve_single(
+            msrc_flat.stacked_dual_matvec(M, C), u0, ct.Params())
+        np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_n),
+                                   atol=1e-12)
+        assert int(i_f) == int(i_n)
+
+
+def test_flat_batched_matches_per_lane():
+    rng = np.random.default_rng(2)
+    B, m = 5, 24
+    Ms, Cs, u0s = [], [], []
+    for _ in range(B):
+        M, C = random_graph(rng, m=m, density=0.35)
+        Ms.append(M)
+        Cs.append(C)
+        u0s.append(rng.uniform(size=m))
+    Ms, Cs, u0s = map(np.stack, (Ms, Cs, u0s))
+
+    solns = jax.jit(lambda a, b, c: msrc_flat.solve_batched(
+        a, b, c, ct.Params()))(jnp.asarray(Ms), jnp.asarray(Cs),
+                               jnp.asarray(u0s))
+
+    for b in range(B):
+        u_n, F_n, i_n = msrc.find_dense_clique(
+            jnp.asarray(Ms[b]), jnp.asarray(Cs[b]), jnp.asarray(u0s[b]),
+            ct.Params(), fuse_md=False)
+        np.testing.assert_allclose(np.asarray(solns.u[b]), np.asarray(u_n),
+                                   atol=1e-12, err_msg=f"lane {b}")
+        mask_n = np.asarray(msrc.round_solution(u_n, F_n))
+        assert (np.asarray(solns.mask[b]) == mask_n).all()
