@@ -28,24 +28,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from clipper_tpu.invariants.base import PairwiseInvariant
 from clipper_tpu.ops.affinity import score_pairwise_consistency
 from clipper_tpu.solvers import msrc
-from clipper_tpu.types import Params, Solution
+from clipper_tpu.types import Params, Rounding, Solution
 
 
 def make_batched_pipeline(invariant: PairwiseInvariant,
                           params: Params = Params(),
                           affinityeps: float = 1e-4,
-                          shared_d1: bool = False):
+                          shared_d1: bool = False,
+                          solver: str = "flat",
+                          matvec: str = "stacked"):
     """Compile (D1s, D2s, As, u0s) -> batched Solution.
 
     Shapes: D1s (B, n1, d) — or (n1, d) if shared_d1, D2s (B, n2, d),
     As (B, m, 2), u0s (B, m).
+
+    solver: "flat" (default; per-lane state machine — total device ticks =
+        the max single-lane probe count, the SIMD optimum for batches) or
+        "nested" (the reference-shaped triple-nested loop; per-level max
+        batching semantics make it much slower for large batches).
+    matvec: for the flat solver, "stacked" ([M; C] single matmul) or
+        "fused" (Pallas kernel computing M u and C u from one read of M;
+        valid because C is the 0/1 pattern of M in this pipeline).
     """
+    from clipper_tpu.solvers import msrc_flat
+
+    rounding = params.rounding
+    if rounding == Rounding.DSD:
+        rounding = Rounding.NONZERO
 
     def one(D1, D2, A, u0):
         M, C = score_pairwise_consistency(invariant, D1, D2, A,
                                           affinityeps=affinityeps)
-        u, F, ifinal = msrc.find_dense_clique(M, C, u0, params)
-        mask = msrc.round_solution(u, F, params.rounding)
+        if solver == "flat":
+            if matvec == "fused":
+                from clipper_tpu.ops.fused_matvec import make_pattern_dual_matvec
+                mv = make_pattern_dual_matvec(M)
+            else:
+                mv = msrc_flat.stacked_dual_matvec(M, C)
+            u, F, ifinal = msrc_flat.flat_solve_single(mv, u0, params)
+        else:
+            u, F, ifinal = msrc.find_dense_clique(M, C, u0, params)
+        mask = msrc.round_solution(u, F, rounding)
         return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=F)
 
     in_axes = (None if shared_d1 else 0, 0, 0, 0)

@@ -174,6 +174,19 @@ def flat_solve_single(
     return s.u, s.F, s.i
 
 
+def recompute_objective(dual_matvec, u: jnp.ndarray) -> jnp.ndarray:
+    """Re-evaluate the final objective in the matvec's precision.
+
+    At convergence the support of u is a clique, so u' Cb u = 0 and the
+    reference objective F = u' gradF reduces to u' (M + I) u exactly,
+    independent of d. Use this to polish F in f32 after a reduced-precision
+    (bf16) iteration — the rounding rule omega = round(F)
+    (reference: src/clipper.cpp:305) needs F accurate to well under 0.5.
+    """
+    Mu, _ = dual_matvec(u)
+    return jnp.dot(u, Mu + u)
+
+
 def stacked_dual_matvec(M: jnp.ndarray, C: jnp.ndarray):
     """Default dual matvec: one matmul over the stacked [M; C] matrix."""
     MC = jnp.concatenate([M, C], axis=0)   # (2m, m)
