@@ -50,7 +50,8 @@ def main():
 
     inv = harness.default_invariant()
     from clipper_tpu.types import Params
-    pipe = batched.make_batched_pipeline(inv, Params(), shared_d1=True)
+    pipe = batched.make_batched_pipeline(inv, Params(), shared_d1=True,
+                                         solver="flat")
 
     # compile + warm up (force a host fetch: through the device tunnel,
     # block_until_ready alone can return before execution completes)

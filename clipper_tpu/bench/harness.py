@@ -109,6 +109,78 @@ def run_trial(pcd0: np.ndarray, m: int, rho: float,
 
 
 # ----------------------------------------------------------------------------
+# point-normal (plane / surfel) scan-alignment config: heavier affinity build
+# (BASELINE.json config 3: n=5k associations)
+# ----------------------------------------------------------------------------
+
+
+def make_pointnormal_problem(rng: np.random.Generator, n: int = 2000,
+                             m: int = 5000, rho: float = 0.8,
+                             noise: float = 0.01):
+    """Synthetic surfel-cloud alignment: points + unit normals under a random
+    rigid transform, with outlier association injection.
+
+    Returns (D1, D2, A, Agt): (n, 6) point-normal datasets, (m, 2) putative
+    associations (outliers first), GT inlier subset.
+    """
+    pts = rng.uniform(-5.0, 5.0, size=(n, 3))
+    nrm = rng.normal(size=(n, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+    # random rotation (QR of gaussian) + translation
+    Q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] = -Q[:, 0]
+    t = rng.uniform(-2, 2, size=3)
+    pts2 = pts @ Q.T + t + rng.normal(0, noise, size=(n, 3))
+    nrm2 = nrm @ Q.T
+
+    D1 = np.concatenate([pts, nrm], axis=1)
+    D2 = np.concatenate([pts2, nrm2], axis=1)
+    Agood = np.stack([np.arange(n), np.arange(n)], axis=1).astype(np.int32)
+    A, Agt = data.generate_synthetic_correspondences(rng, n, n, Agood, m, rho)
+    return D1, D2, A, Agt
+
+
+def run_pointnormal_trial(rng: np.random.Generator, key: jax.Array,
+                          n: int = 2000, m: int = 5000, rho: float = 0.8,
+                          dtype=jnp.float32) -> Trial:
+    """One point-normal trial with affinity/solver timing (m=5k default)."""
+    from clipper_tpu.invariants.pointnormal import (
+        PointNormalDistance, PointNormalDistanceParams)
+
+    trial = Trial()
+    D1, D2, A, Agt = make_pointnormal_problem(rng, n, m, rho)
+    inv = PointNormalDistance(PointNormalDistanceParams(
+        sigp=0.03, epsp=0.06, sign=0.05, epsn=0.15))
+    D1j, D2j = jnp.asarray(D1, dtype), jnp.asarray(D2, dtype)
+    Aj = jnp.asarray(A, jnp.int32)
+    u0 = utils.randvec(key, m, dtype=dtype)
+
+    score_jit = jax.jit(lambda D1, D2, A: score_pairwise_consistency(
+        inv, D1, D2, A, affinityeps=1e-4))
+    solve_jit = jax.jit(lambda M, C, u0: msrc.solve_msrc(M, C, u0, Params()))
+
+    M, C = score_jit(D1j, D2j, Aj)
+    np.asarray(M[0, 0])
+    t0 = time.perf_counter()
+    M, C = score_jit(D1j, D2j, Aj)
+    np.asarray(M[0, 0])
+    trial.t_affinity = time.perf_counter() - t0
+
+    soln = solve_jit(M, C, u0)
+    np.asarray(soln.score)
+    t0 = time.perf_counter()
+    soln = solve_jit(M, C, u0)
+    np.asarray(soln.score)
+    trial.t_solver = time.perf_counter() - t0
+
+    Ain = A[np.asarray(soln.mask)]
+    trial.p, trial.r = data.get_precision_recall(Ain, Agt)
+    return trial
+
+
+# ----------------------------------------------------------------------------
 # batched engine measurement: B independent problems solved at once via vmap
 # ----------------------------------------------------------------------------
 
