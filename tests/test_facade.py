@@ -1,0 +1,87 @@
+"""Facade (Clipper class) surface tests: get/set round-trips, DSD rounding,
+warm start, utils parity with the reference Python bindings
+(reference: bindings/python/py_clipper.cpp:197-232)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import clipper_tpu as ct
+from clipper_tpu import utils
+
+from test_affinity import make_scene
+
+
+def scored_clipper(params=None):
+    model, data = make_scene()
+    c = ct.Clipper(ct.EuclideanDistance(), params or ct.Params())
+    c.score_pairwise_consistency(model, data)
+    return c
+
+
+def test_get_set_matrix_roundtrip():
+    """reference: test/clipper_test.cpp:72-133 round-trip via dense get/set."""
+    c1 = scored_clipper()
+    M, C = c1.get_affinity_matrix(), c1.get_constraint_matrix()
+    c2 = ct.Clipper(ct.EuclideanDistance(), ct.Params())
+    c2.set_matrix_data(M, C, A=c1.get_initial_associations())
+    np.testing.assert_array_equal(np.asarray(c2.get_affinity_matrix()),
+                                  np.asarray(M))
+    np.testing.assert_array_equal(np.asarray(c2.get_constraint_matrix()),
+                                  np.asarray(C))
+    c2.solve(key=jax.random.PRNGKey(0))
+    Ain = c2.get_selected_associations()
+    assert Ain.shape[0] == 3
+    np.testing.assert_array_equal(Ain[:, 0], Ain[:, 1])
+
+
+def test_dsd_rounding_mode():
+    """Rounding.DSD reruns the exact densest-subgraph solver on the support
+    (reference: src/clipper.cpp:294-300)."""
+    c = scored_clipper(ct.Params(rounding=ct.Rounding.DSD))
+    c.solve(key=jax.random.PRNGKey(0))
+    Ain = c.get_selected_associations()
+    assert Ain.shape[0] == 3
+    np.testing.assert_array_equal(Ain[:, 0], Ain[:, 1])
+
+
+def test_solution_fields():
+    c = scored_clipper()
+    soln = c.solve(key=jax.random.PRNGKey(0))
+    assert soln.t > 0
+    assert int(soln.ifinal) >= 1
+    assert soln.u.shape == (12,)
+    assert soln.u0.shape == (12,)
+    assert sorted(soln.nodes) == list(soln.nodes)
+    assert abs(float(jnp.linalg.norm(soln.u)) - 1.0) < 1e-6
+
+
+def test_set_parallelize_noop():
+    c = scored_clipper()
+    c.set_parallelize(False)  # API parity no-op
+
+
+def test_utils_k2ij_parity():
+    """k2ij closed form vs explicit upper-triangle enumeration
+    (reference: src/utils.cpp:87-97)."""
+    n = 17
+    k = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            ii, jj = utils.k2ij(k, n)
+            assert (int(ii), int(jj)) == (i, j), k
+            k += 1
+
+
+def test_find_indices_of_k_largest():
+    x = np.array([0.1, 0.9, 0.4, 0.7, 0.2])
+    assert utils.find_indices_of_k_largest(x, 3) == [1, 3, 2]
+    assert utils.find_indices_of_k_largest(x, 0) == []
+    assert utils.find_indices_of_k_largest(x, 99) == [1, 3, 2, 4, 0]
+
+
+def test_randvec_range(key):
+    v = utils.randvec(key, 1000)
+    assert v.shape == (1000,)
+    assert (np.asarray(v) >= 0).all() and (np.asarray(v) < 1).all()
