@@ -31,7 +31,7 @@ def main():
     from clipper_tpu.bench import data, harness
     from clipper_tpu.parallel import batched
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     m = 1024
     rho = 0.9
     dtype = jnp.float32

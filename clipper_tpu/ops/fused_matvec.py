@@ -26,14 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dual_matvec_kernel(M_ref, u_ref, Mu_ref, Cu_ref):
-    Mt = M_ref[0]                      # (TI, m) tile
-    u = u_ref[0]                       # (m,)
-    uc = u.reshape(-1, 1).astype(Mt.dtype)
-    Mu = jnp.dot(Mt, uc, preferred_element_type=jnp.float32)
-    Ct = (Mt > 0).astype(Mt.dtype)     # constraint pattern, in registers
-    Cu = jnp.dot(Ct, uc, preferred_element_type=jnp.float32)
-    Mu_ref[0, :] = Mu[:, 0]
-    Cu_ref[0, :] = Cu[:, 0]
+    # multiply + row-reduce on the VPU: a matvec's (m, 1) matmul operand is
+    # lane-misaligned for the MXU and the op is HBM-bandwidth bound anyway
+    Mt = M_ref[0].astype(jnp.float32)  # (TI, m) tile
+    u = u_ref[0]                       # (1, m)
+    Mu_ref[0, 0, :] = jnp.sum(Mt * u, axis=1)
+    Cu_ref[0, 0, :] = jnp.sum(jnp.where(Mt > 0, u, 0.0), axis=1)
 
 
 def _use_interpret() -> bool:
@@ -48,20 +46,24 @@ def pattern_dual_matvec(M: jnp.ndarray, u: jnp.ndarray,
     B, m, m2 = M.shape
     assert m == m2 and m % row_tile == 0, (m, row_tile)
     grid = (B, m // row_tile)
-    out_shape = [jax.ShapeDtypeStruct((B, m), jnp.float32)] * 2
+    # singleton row dims keep the last-two block dims TPU-tileable:
+    # blocks must have last two dims divisible by (8, 128) or equal to the
+    # array's — (1, row_tile) over a (B, m) array violates that.
+    u3 = u[:, None, :]
+    out_shape = [jax.ShapeDtypeStruct((B, 1, m), jnp.float32)] * 2
     Mu, Cu = pl.pallas_call(
         _dual_matvec_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, row_tile, m), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda b, i: (b, 0),
+            pl.BlockSpec((1, 1, m), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, row_tile), lambda b, i: (b, i),
+            pl.BlockSpec((1, 1, row_tile), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_tile), lambda b, i: (b, i),
+            pl.BlockSpec((1, 1, row_tile), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
@@ -71,8 +73,8 @@ def pattern_dual_matvec(M: jnp.ndarray, u: jnp.ndarray,
             transcendentals=0,
         ),
         interpret=_use_interpret(),
-    )(M, u)
-    return Mu, Cu
+    )(M, u3)
+    return Mu[:, 0, :], Cu[:, 0, :]
 
 
 def make_pattern_dual_matvec(M_row: jnp.ndarray, row_tile: int = 256):
