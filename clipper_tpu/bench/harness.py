@@ -187,13 +187,16 @@ def run_pointnormal_trial(rng: np.random.Generator, key: jax.Array,
 
 def run_batched(pcd0: np.ndarray, m: int, rho: float, batch: int,
                 rng: np.random.Generator, key: jax.Array,
-                dtype=jnp.float32, n_timing_reps: int = 3):
+                dtype=jnp.float32, n_timing_reps: int = 3,
+                solver: str = "flat", matvec: str = "stacked"):
     """Solve `batch` independent problems in one vmapped device program.
 
     Returns (throughput_problems_per_s, mean_precision, mean_recall,
     elapsed_s) where elapsed covers affinity build + solve + rounding for the
     whole batch (compile/warmup excluded).
     """
+    from clipper_tpu.parallel import batched as batched_mod
+
     problems = [make_problem(pcd0, m, rho, rng) for _ in range(batch)]
     D1 = jnp.asarray(pcd0, dtype)
     D2s = jnp.stack([jnp.asarray(p[0], dtype) for p in problems])
@@ -201,24 +204,17 @@ def run_batched(pcd0: np.ndarray, m: int, rho: float, batch: int,
     u0s = jax.vmap(lambda k: utils.randvec(k, m, dtype=dtype))(
         jax.random.split(key, batch))
 
-    inv = default_invariant()
-    params = Params()
-
-    @jax.jit
-    def batch_pipeline(D1, D2s, As, u0s):
-        def one(D2, A, u0):
-            M, C = score_pairwise_consistency(inv, D1, D2, A,
-                                              affinityeps=1e-4)
-            return msrc.solve_msrc(M, C, u0, params)
-        return jax.vmap(one)(D2s, As, u0s)
+    batch_pipeline = batched_mod.make_batched_pipeline(
+        default_invariant(), Params(), shared_d1=True, solver=solver,
+        matvec=matvec)
 
     solns = batch_pipeline(D1, D2s, As, u0s)  # compile + warmup
-    solns.mask.block_until_ready()
+    np.asarray(solns.score)
 
     t0 = time.perf_counter()
     for _ in range(n_timing_reps):
         solns = batch_pipeline(D1, D2s, As, u0s)
-        solns.mask.block_until_ready()
+        np.asarray(solns.score)
     elapsed = (time.perf_counter() - t0) / n_timing_reps
 
     masks = np.asarray(solns.mask)

@@ -21,16 +21,18 @@ def randvec(key: jax.Array, n: int, dtype=jnp.float64) -> jnp.ndarray:
     return jax.random.uniform(key, (n,), dtype=dtype)
 
 
-def k2ij(k, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def k2ij(k, n: int) -> Tuple[np.ndarray, np.ndarray]:
     """Map flat strict-upper-triangle index k to (i, j), row-major.
 
     Closed form identical to the reference (reference: src/utils.cpp:87-97).
-    Vectorized over k.
+    Vectorized over k. Host-side (f64 index math stays exact for n >= 100k
+    regardless of the jax x64 setting).
     """
-    k = jnp.asarray(k)
+    k = np.asarray(k, dtype=np.int64)
     kk = k + 1
     l = n * (n - 1) // 2 - kk
-    o = jnp.floor((jnp.sqrt(1.0 + 8.0 * l.astype(jnp.float64)) - 1.0) / 2.0).astype(k.dtype)
+    o = np.floor((np.sqrt(1.0 + 8.0 * l.astype(np.float64)) - 1.0) / 2.0
+                 ).astype(np.int64)
     p = l - o * (o + 1) // 2
     i = n - (o + 1)
     j = n - p
