@@ -25,7 +25,7 @@ def main():
 
     # persistent compilation cache: the nested-while-loop pipeline is slow to
     # compile through the device tunnel; cache makes reruns instant
-    jax.config.update("jax_compilation_cache_dir", "/tmp/clipper_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).resolve().parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from clipper_tpu.bench import data, harness
