@@ -73,3 +73,10 @@ class PairwiseInvariant:
         """
         return self(P1r[:, None, :], P1c[None, :, :],
                     P2r[:, None, :], P2c[None, :, :])
+
+
+# Class-hierarchy parity with the reference (reference:
+# include/clipper/invariants/abstract.h:37-52 declares an `Invariant` base
+# above `PairwiseInvariant`). In this framework every invariant is a
+# traceable callable, so the alias is the base.
+Invariant = PairwiseInvariant
