@@ -39,11 +39,23 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _auto_row_tile(m: int, itemsize: int) -> int:
+    # keep one (row_tile, m) tile near 2 MB so double buffering fits in the
+    # ~16 MB VMEM budget alongside u and the outputs
+    budget = 2 * 1024 * 1024
+    rt = max(8, min(256, budget // max(1, m * itemsize) // 8 * 8))
+    while m % rt:
+        rt //= 2
+    return max(rt, 8)
+
+
 @functools.partial(jax.jit, static_argnames=("row_tile",))
 def pattern_dual_matvec(M: jnp.ndarray, u: jnp.ndarray,
-                        row_tile: int = 256):
+                        row_tile: int = 0):
     """(Mu, Cu) with C = pattern(M). M: (B, m, m); u: (B, m). f32 outputs."""
     B, m, m2 = M.shape
+    if not row_tile:
+        row_tile = _auto_row_tile(m, M.dtype.itemsize)
     assert m == m2 and m % row_tile == 0, (m, row_tile)
     grid = (B, m // row_tile)
     # singleton row dims keep the last-two block dims TPU-tileable:
@@ -77,7 +89,7 @@ def pattern_dual_matvec(M: jnp.ndarray, u: jnp.ndarray,
     return Mu[:, 0, :], Cu[:, 0, :]
 
 
-def make_pattern_dual_matvec(M_row: jnp.ndarray, row_tile: int = 256):
+def make_pattern_dual_matvec(M_row: jnp.ndarray, row_tile: int = 0):
     """Single-problem closure u -> (M u, C u) for use inside vmapped solvers.
 
     M_row: (m, m). Under vmap the leading batch axis reassembles and the
