@@ -59,7 +59,13 @@ class Params:
 
 @dataclasses.dataclass
 class Solution:
-    """Mirrors reference sdp::Solution (reference: include/clipper/sdp.h:15-37)."""
+    """Mirrors reference sdp::Solution (reference: include/clipper/sdp.h:15-37).
+
+    The reference carries a per-stage SCS timing breakdown
+    (reference: include/clipper/sdp.h:28-36); the analogous stages here are
+    the ADMM solve (t_solve, device) and node extraction (t_extract, host).
+    There is no parse stage — the problem is formulated directly on (M, C).
+    """
 
     X: np.ndarray
     lambdas: np.ndarray
@@ -70,6 +76,8 @@ class Solution:
     pobj: float
     dobj: float
     t: float = 0.0
+    t_solve: float = 0.0
+    t_extract: float = 0.0
 
 
 def _project_simplex(lam: jnp.ndarray) -> jnp.ndarray:
@@ -155,12 +163,14 @@ def solve(M, C, params: Params = Params()) -> Solution:
     X, lam, evec1, pobj, dobj, iters = _admm(M, C, params)
 
     X = np.asarray(X)
+    t1 = time.perf_counter()
     lam = np.asarray(lam)
     evec1 = np.asarray(evec1)
 
     thr = float(np.abs(evec1).max() / 2.0)
     nodes = [int(i) for i in np.flatnonzero(np.abs(evec1) > thr)]
+    t2 = time.perf_counter()
 
     return Solution(X=X, lambdas=lam, evec1=evec1, thr=thr, nodes=nodes,
                     iters=int(iters), pobj=float(pobj), dobj=float(dobj),
-                    t=time.perf_counter() - t0)
+                    t=t2 - t0, t_solve=t1 - t0, t_extract=t2 - t1)
