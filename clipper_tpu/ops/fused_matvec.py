@@ -40,13 +40,15 @@ def _use_interpret() -> bool:
 
 
 def _auto_row_tile(m: int, itemsize: int) -> int:
-    # keep one (row_tile, m) tile near 2 MB so double buffering fits in the
-    # ~16 MB VMEM budget alongside u and the outputs
-    budget = 2 * 1024 * 1024
-    rt = max(8, min(256, budget // max(1, m * itemsize) // 8 * 8))
+    # row_tile must be a multiple of 128 (it is the last dim of the output
+    # blocks) and small enough that a double-buffered (row_tile, m) tile fits
+    # the ~16 MB VMEM budget
+    budget = 4 * 1024 * 1024
+    rt = min(256, budget // max(1, m * itemsize) // 128 * 128)
+    rt = max(rt, 128)
     while m % rt:
         rt //= 2
-    return max(rt, 8)
+    return max(rt, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("row_tile",))
