@@ -151,6 +151,35 @@ def _admm(M: jnp.ndarray, C: jnp.ndarray, params: Params):
     return X, lam, evec1, pobj, dobj, s.it
 
 
+def solve_batched(Ms, Cs, params: Params = Params()) -> List[Solution]:
+    """vmapped SDR solve over a batch of problems (B, n, n).
+
+    The ADMM iteration (elementwise projections + batched eigh) vmaps
+    cleanly; used for batched loop-closure cross-checking.
+    """
+    import time
+
+    t0 = time.perf_counter()
+    Ms = jnp.asarray(Ms)
+    Cs = jnp.asarray(Cs, Ms.dtype)
+    X, lam, evec1, pobj, dobj, iters = jax.vmap(
+        lambda M, C: _admm(M, C, params))(Ms, Cs)
+    X = np.asarray(X)
+    lam = np.asarray(lam)
+    evec1 = np.asarray(evec1)
+    t1 = time.perf_counter()
+
+    out = []
+    for b in range(X.shape[0]):
+        thr = float(np.abs(evec1[b]).max() / 2.0)
+        nodes = [int(i) for i in np.flatnonzero(np.abs(evec1[b]) > thr)]
+        out.append(Solution(X=X[b], lambdas=lam[b], evec1=evec1[b], thr=thr,
+                            nodes=nodes, iters=int(iters[b]),
+                            pobj=float(pobj[b]), dobj=float(dobj[b]),
+                            t=t1 - t0, t_solve=t1 - t0))
+    return out
+
+
 def solve(M, C, params: Params = Params()) -> Solution:
     """Solve the MSRC SDR for dense symmetric M, C WITH identity diagonal
     (the reference passes getAffinityMatrix()/getConstraintMatrix() output —

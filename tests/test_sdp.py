@@ -96,3 +96,23 @@ def test_sdr_planted_clique():
     C = (M > 0).astype(float)
     soln = sdp.solve(M, C)
     assert set(soln.nodes) == set(clique)
+
+
+def test_sdr_batched_matches_single():
+    rng = np.random.default_rng(3)
+    Ms, Cs = [], []
+    for _ in range(3):
+        n = 24
+        W = np.triu(rng.uniform(0, 0.3, size=(n, n)) *
+                    (rng.uniform(size=(n, n)) < 0.25), 1)
+        clique = rng.choice(n, 5, replace=False)
+        for a in range(5):
+            for b in range(a + 1, 5):
+                W[min(clique[a], clique[b]), max(clique[a], clique[b])] = 1.0
+        M = W + W.T + np.eye(n)
+        Ms.append(M)
+        Cs.append((M > 0).astype(float))
+    solns_b = sdp.solve_batched(np.stack(Ms), np.stack(Cs))
+    for b in range(3):
+        single = sdp.solve(Ms[b], Cs[b])
+        assert set(solns_b[b].nodes) == set(single.nodes)
