@@ -131,3 +131,25 @@ def test_sharded_affinity_blocks_match_dense():
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(blocks[1]), np.asarray(C),
                                atol=1e-12)
+
+
+def test_sharded_pointnormal_matches_dense():
+    """Sharded path with the 6-dof point-normal invariant (score_block)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from clipper_tpu.bench import harness
+    rng = np.random.default_rng(5)
+    D1, D2, A, Agt = harness.make_pointnormal_problem(rng, n=60, m=96,
+                                                      rho=0.5, noise=0.002)
+    inv = ct.PointNormalDistance(ct.PointNormalDistanceParams(
+        sigp=0.03, epsp=0.06, sign=0.05, epsn=0.15))
+    u0 = rng.uniform(size=96)
+
+    M, C = ct.score_pairwise_consistency(inv, jnp.asarray(D1),
+                                         jnp.asarray(D2), jnp.asarray(A))
+    u_ref, F_ref, _ = ct.find_dense_clique(M, C, jnp.asarray(u0), ct.Params())
+
+    mesh = sharded.make_mesh((2, 4))
+    soln = sharded.solve_sharded(inv, D1, D2, A, u0, ct.Params(), mesh)
+    np.testing.assert_allclose(np.asarray(soln.u), np.asarray(u_ref),
+                               atol=1e-8)
