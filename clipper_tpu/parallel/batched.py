@@ -46,9 +46,11 @@ def make_batched_pipeline(invariant: PairwiseInvariant,
         the max single-lane probe count, the SIMD optimum for batches) or
         "nested" (the reference-shaped triple-nested loop; per-level max
         batching semantics make it much slower for large batches).
-    matvec: for the flat solver, "stacked" ([M; C] single matmul) or
-        "fused" (Pallas kernel computing M u and C u from one read of M;
-        valid because C is the 0/1 pattern of M in this pipeline).
+    matvec: for the flat solver, "stacked" ([M; C] single matmul),
+        "stacked_bf16" (same, with bf16 storage / f32 accumulation and an
+        f32 final-objective polish), or "fused" (Pallas kernel computing
+        M u and C u from one read of M; valid because C is the 0/1 pattern
+        of M in this pipeline).
     """
     from clipper_tpu.solvers import msrc_flat
 
@@ -60,12 +62,19 @@ def make_batched_pipeline(invariant: PairwiseInvariant,
         M, C = score_pairwise_consistency(invariant, D1, D2, A,
                                           affinityeps=affinityeps)
         if solver == "flat":
+            polish = False
             if matvec == "fused":
                 from clipper_tpu.ops.fused_matvec import make_pattern_dual_matvec
                 mv = make_pattern_dual_matvec(M)
+            elif matvec == "stacked_bf16":
+                mv = msrc_flat.stacked_dual_matvec(M, C, jnp.bfloat16)
+                polish = True
             else:
                 mv = msrc_flat.stacked_dual_matvec(M, C)
             u, F, ifinal = msrc_flat.flat_solve_single(mv, u0, params)
+            if polish:
+                F = msrc_flat.recompute_objective(
+                    msrc_flat.stacked_dual_matvec(M, C), u)
         else:
             u, F, ifinal = msrc.find_dense_clique(M, C, u0, params)
         mask = msrc.round_solution(u, F, rounding)

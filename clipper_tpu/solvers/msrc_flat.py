@@ -187,13 +187,26 @@ def recompute_objective(dual_matvec, u: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(u, Mu + u)
 
 
-def stacked_dual_matvec(M: jnp.ndarray, C: jnp.ndarray):
-    """Default dual matvec: one matmul over the stacked [M; C] matrix."""
+def stacked_dual_matvec(M: jnp.ndarray, C: jnp.ndarray,
+                        storage_dtype=None):
+    """Default dual matvec: one matmul over the stacked [M; C] matrix.
+
+    storage_dtype=jnp.bfloat16 halves the HBM traffic of the hot loop; the
+    contraction still accumulates in f32 (preferred_element_type), and
+    callers should re-evaluate the final objective in full precision with
+    :func:`recompute_objective` before rounding.
+    """
     MC = jnp.concatenate([M, C], axis=0)   # (2m, m)
+    if storage_dtype is not None:
+        MC = MC.astype(storage_dtype)
     m = M.shape[0]
+    out_dtype = M.dtype
 
     def mv(u):
-        y = MC @ u
+        y = jax.lax.dot_general(
+            MC, u.astype(MC.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_dtype)
         return y[:m], y[m:]
 
     return mv
