@@ -201,12 +201,15 @@ def stacked_dual_matvec(M: jnp.ndarray, C: jnp.ndarray,
         MC = MC.astype(storage_dtype)
     m = M.shape[0]
     out_dtype = M.dtype
+    # reduced storage accumulates in f32; full storage keeps its own
+    # precision (f64 parity path must accumulate in f64)
+    acc_dtype = out_dtype if MC.dtype == out_dtype else jnp.float32
 
     def mv(u):
         y = jax.lax.dot_general(
             MC, u.astype(MC.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(out_dtype)
+            preferred_element_type=acc_dtype).astype(out_dtype)
         return y[:m], y[m:]
 
     return mv
