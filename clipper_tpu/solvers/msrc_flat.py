@@ -63,11 +63,15 @@ def flat_solve_single(
     dual_matvec: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
     u0: jnp.ndarray,
     params: Params = Params(),
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    *,
+    return_ticks: bool = False,
+):
     """One lane of the flattened solver. vmap this for batches.
 
     dual_matvec(u) must return (M @ u, C @ u).
-    Returns (u, F, ifinal) with reference semantics.
+    Returns (u, F, ifinal) with reference semantics; with
+    ``return_ticks=True`` also the lane's total probe count (for tail
+    diagnostics under vmap).
     """
     dtype = u0.dtype
     eps = jnp.asarray(params.eps, dtype)
@@ -171,6 +175,8 @@ def flat_solve_single(
                       lsk=jnp.int32(0), j=jnp.int32(0), i=jnp.int32(0),
                       done=jnp.asarray(False), ticks=jnp.int32(0))
     s = jax.lax.while_loop(cond, body, init)
+    if return_ticks:
+        return s.u, s.F, s.i, s.ticks
     return s.u, s.F, s.i
 
 
