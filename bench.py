@@ -50,8 +50,12 @@ def main():
 
     inv = harness.default_invariant()
     from clipper_tpu.types import Params
+    # flat state-machine solver + bf16-storage stacked matvec with f32
+    # accumulation/polish: highest-throughput config at identical P/R to f32
+    # (see BENCH.md)
     pipe = batched.make_batched_pipeline(inv, Params(), shared_d1=True,
-                                         solver="flat")
+                                         solver="flat",
+                                         matvec="stacked_bf16")
 
     # compile + warm up (force a host fetch: through the device tunnel,
     # block_until_ready alone can return before execution completes)
