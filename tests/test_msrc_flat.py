@@ -83,3 +83,39 @@ def test_flat_batched_matches_per_lane():
                                    atol=1e-12, err_msg=f"lane {b}")
         mask_n = np.asarray(msrc.round_solution(u_n, F_n))
         assert (np.asarray(solns.mask[b]) == mask_n).all()
+
+
+@pytest.mark.parametrize("matvec", ["stacked", "stacked_bf16", "fused"])
+def test_batched_pipeline_matvec_modes(matvec):
+    """All matvec modes of the batched pipeline find the same cliques."""
+    from clipper_tpu.parallel import batched
+
+    rng = np.random.default_rng(9)
+    B, n, ni, m = 3, 60, 20, 128
+    D1s, D2s, As = [], [], []
+    for _ in range(B):
+        D1 = rng.uniform(size=(n, 3))
+        th = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        D2 = D1 @ R.T
+        A = np.zeros((m, 2), dtype=np.int32)
+        A[:ni, 0] = A[:ni, 1] = np.arange(ni)
+        A[ni:, 0] = rng.integers(0, n, m - ni)
+        A[ni:, 1] = rng.integers(0, n, m - ni)
+        D1s.append(D1); D2s.append(D2); As.append(A)
+    u0s = rng.uniform(size=(B, m)).astype(np.float32)
+
+    inv = ct.EuclideanDistance(ct.EuclideanDistanceParams(sigma=0.015,
+                                                          epsilon=0.05))
+    pipe = batched.make_batched_pipeline(inv, ct.Params(), matvec=matvec)
+    solns = pipe(jnp.asarray(np.stack(D1s), jnp.float32),
+                 jnp.asarray(np.stack(D2s), jnp.float32),
+                 jnp.asarray(np.stack(As)), jnp.asarray(u0s))
+    masks = np.asarray(solns.mask)
+    for b in range(B):
+        sel = set(np.flatnonzero(masks[b]))
+        # DSD_HEU takes omega=round(F) largest entries: the weakest inlier or
+        # two may be dropped (recall ~90% is the algorithm's operating point)
+        assert len(sel & set(range(ni))) >= ni - 2, (matvec, b, sel)
+        assert len(sel - set(range(ni))) <= 3, (matvec, b, sel)
