@@ -67,23 +67,36 @@ class Clipper:
     # solvers
     # ------------------------------------------------------------------
 
-    def solve(self, u0=None, *, key: Optional[jax.Array] = None) -> Solution:
+    def solve(self, u0=None, *, key: Optional[jax.Array] = None,
+              multistart: int = 1) -> Solution:
         """Solve MSRC by graduated projected gradient ascent.
 
         reference: src/clipper.cpp:69-78. If no u0 is given, a U[0,1) random
         vector is drawn (explicit ``key``, else a time-seeded key — pass a key
         for reproducibility).
+
+        multistart > 1 runs that many random inits in parallel on device and
+        keeps the densest cluster found (highest F) — restarts are nearly
+        free under batching and remove the local solver's init sensitivity
+        (an extension; the reference solves from a single init).
         """
         self._require_matrices()
         m = self._M.shape[0]
-        if u0 is None:
-            if key is None:
-                key = jax.random.PRNGKey(time.time_ns() & 0x7FFFFFFF)
-            u0 = utils.randvec(key, m, dtype=self.dtype)
-        u0 = jnp.asarray(u0, self.dtype)
-
+        if key is None:
+            key = jax.random.PRNGKey(time.time_ns() & 0x7FFFFFFF)
         t0 = time.perf_counter()
-        soln = msrc.solve_msrc(self._M, self._C, u0, self.params)
+        if multistart > 1 and u0 is None:
+            from clipper_tpu.solvers import msrc_flat
+            u0s = jax.vmap(lambda k: utils.randvec(k, m, dtype=self.dtype))(
+                jax.random.split(key, multistart))
+            soln = jax.jit(msrc_flat.solve_multistart,
+                           static_argnames=("params",))(
+                self._M, self._C, u0s, self.params)
+        else:
+            if u0 is None:
+                u0 = utils.randvec(key, m, dtype=self.dtype)
+            u0 = jnp.asarray(u0, self.dtype)
+            soln = msrc.solve_msrc(self._M, self._C, u0, self.params)
         soln.mask.block_until_ready()
 
         if self.params.rounding == Rounding.DSD:

@@ -221,6 +221,33 @@ def stacked_dual_matvec(M: jnp.ndarray, C: jnp.ndarray,
     return mv
 
 
+def solve_multistart(M: jnp.ndarray, C: jnp.ndarray, u0s: jnp.ndarray,
+                     params: Params = Params()) -> Solution:
+    """Solve one problem from K random inits in parallel; keep the best.
+
+    The PGA solver is a local method: different u0 can land on different
+    dense clusters (the reference documents this sensitivity —
+    reference: examples/matlab/ex3_planecloud.m:95-98, clipper.h:44-47).
+    Batching makes restarts nearly free on TPU, so run K lanes over the SAME
+    (M, C) and return the solution with the highest objective F (the denser
+    cluster). u0s: (K, m).
+    """
+    mv = stacked_dual_matvec(M, C)
+
+    def one(u0):
+        u, F, ifinal = flat_solve_single(mv, u0, params)
+        return u, F, ifinal
+
+    us, Fs, ifinals = jax.vmap(one)(u0s)
+    best = jnp.argmax(Fs)
+    u, F, ifinal = us[best], Fs[best], ifinals[best]
+    rounding = params.rounding
+    if rounding == Rounding.DSD:
+        rounding = Rounding.NONZERO
+    mask = msrc.round_solution(u, F, rounding)
+    return Solution(ifinal=ifinal, mask=mask, u0=u0s[best], u=u, score=F)
+
+
 def solve_batched(Ms: jnp.ndarray, Cs: jnp.ndarray, u0s: jnp.ndarray,
                   params: Params = Params()) -> Solution:
     """Batched flat solve over (B, m, m) matrices. Jit-friendly."""

@@ -181,3 +181,35 @@ def test_parity_random_graphs():
         np.testing.assert_allclose(np.asarray(u_jx), u_np, atol=1e-10)
         assert abs(float(F_jx) - F_np) < 1e-8
         assert int(i_jx) == i_np
+
+
+def test_multistart_beats_single_init():
+    """Multistart removes the init sensitivity: every key must now find the
+    identity 3-clique (single-init solving misses it for some seeds)."""
+    model, data = make_scene()
+    for seed in range(8):
+        clipper = ct.Clipper(ct.EuclideanDistance(), ct.Params())
+        clipper.score_pairwise_consistency(model, data)
+        clipper.solve(key=jax.random.PRNGKey(seed), multistart=8)
+        Ain = clipper.get_selected_associations()
+        assert Ain.shape[0] == 3, f"seed {seed}"
+        np.testing.assert_array_equal(Ain[:, 0], Ain[:, 1])
+
+
+def test_multistart_ex3_symmetry_resolved():
+    """ex3's near-symmetric second clique: multistart picks the denser one."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from ex3_plane_cloud import D1, D2, AGT
+    DD1 = np.concatenate([np.zeros((4, 3)), D1[:, :3]], axis=1).T
+    DD2 = np.concatenate([np.zeros((4, 3)), D2[:, :3]], axis=1).T
+    inv = ct.PointNormalDistance(ct.PointNormalDistanceParams(
+        sign=np.deg2rad(1.5), epsn=1.0))
+    expected = {tuple(r) for r in AGT.tolist()}
+    for seed in range(6):
+        clipper = ct.Clipper(inv, ct.Params())
+        clipper.score_pairwise_consistency(DD1, DD2)
+        clipper.solve(key=jax.random.PRNGKey(seed), multistart=16)
+        found = {tuple(r) for r in clipper.get_selected_associations().tolist()}
+        assert found == expected, f"seed {seed}: {found}"
