@@ -40,7 +40,14 @@ from clipper_tpu.types import Params, Rounding, Solution
 
 def make_mesh(shape: Tuple[int, int] = None,
               axis_names: Tuple[str, str] = ("r", "c")) -> Mesh:
-    """2D device mesh over all available devices (R x C)."""
+    """2D device mesh over all available devices (R x C).
+
+    jax.devices() orders devices by process, so reshaping to (R, C) with C a
+    multiple of the per-host device count puts whole block-rows on a host:
+    the column-axis psum of the matvec then rides ICI within hosts, and only
+    the (much smaller) row-axis all_gather of the (m,) vector crosses DCN.
+    Use :func:`make_mesh_multihost` to pick that shape automatically.
+    """
     devices = np.array(jax.devices())
     n = devices.size
     if shape is None:
@@ -50,6 +57,14 @@ def make_mesh(shape: Tuple[int, int] = None,
             r -= 1
         shape = (r, n // r)
     return Mesh(devices[: shape[0] * shape[1]].reshape(shape), axis_names)
+
+
+def make_mesh_multihost(axis_names: Tuple[str, str] = ("r", "c")) -> Mesh:
+    """DCN-aware mesh: hosts own block-rows (rows = processes, cols = local
+    devices), so per-probe psum reductions stay on ICI."""
+    n_local = max(1, jax.local_device_count())
+    n = len(jax.devices())
+    return make_mesh((n // n_local, n_local), axis_names)
 
 
 def _padded_size(m: int, r: int, c: int) -> int:
