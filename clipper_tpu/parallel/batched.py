@@ -36,7 +36,8 @@ def make_batched_pipeline(invariant: PairwiseInvariant,
                           affinityeps: float = 1e-4,
                           shared_d1: bool = False,
                           solver: str = "flat",
-                          matvec: str = "stacked"):
+                          matvec: str = "stacked",
+                          probes: int = 1):
     """Compile (D1s, D2s, As, u0s) -> batched Solution.
 
     Shapes: D1s (B, n1, d) — or (n1, d) if shared_d1, D2s (B, n2, d),
@@ -51,6 +52,11 @@ def make_batched_pipeline(invariant: PairwiseInvariant,
         f32 final-objective polish), or "fused" (Pallas kernel computing
         M u and C u from one read of M; valid because C is the 0/1 pattern
         of M in this pipeline).
+    probes: line-search width K for the flat solver. K > 1 evaluates K
+        backtracking candidates per matvec tick (same HBM traffic — the tick
+        cost on TPU), collapsing the backtrack-dominated batch tail; the
+        accepted candidate matches the sequential line search exactly.
+        Requires matvec "stacked"/"stacked_bf16".
     """
     from clipper_tpu.solvers import msrc_flat
 
@@ -71,7 +77,12 @@ def make_batched_pipeline(invariant: PairwiseInvariant,
                 polish = True
             else:
                 mv = msrc_flat.stacked_dual_matvec(M, C)
-            u, F, ifinal = msrc_flat.flat_solve_single(mv, u0, params)
+            if probes > 1:
+                assert matvec != "fused", "multiprobe needs the stacked matvec"
+                u, F, ifinal = msrc_flat.flat_solve_single_multiprobe(
+                    mv, u0, params, probes=probes)
+            else:
+                u, F, ifinal = msrc_flat.flat_solve_single(mv, u0, params)
             if polish:
                 F = msrc_flat.recompute_objective(
                     msrc_flat.stacked_dual_matvec(M, C), u)

@@ -64,6 +64,7 @@ class _OuterState(NamedTuple):
     d: jnp.ndarray
     F: jnp.ndarray
     done: jnp.ndarray
+    stall: jnp.ndarray   # consecutive frozen-u outer transitions
 
 
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -89,6 +90,45 @@ def _eps_like(params_eps, scale, dtype):
     mach = jnp.finfo(dtype).eps
     return jnp.maximum(jnp.asarray(params_eps, dtype),
                        (_EPS_FACTOR * mach) * scale)
+
+
+# Constraint-activity threshold for the homotopy d-update. The d increment is
+# mean((M u + u)_i / (Cb u)_i) over "active" entries — a violation with
+# Cb u ~ k * macheps * sum(u) produces a d step of order 1/(k * macheps),
+# and penalizing it requires computing d * Cbu to absolute accuracy BETTER
+# than macheps * sum(u) * d — i.e. beyond the dtype's resolution. Measured in
+# f32 on the benchmark protocol: genuine residual violations at ~50 x macheps
+# slip past the 100 x floor, blow d up to ~1e4+, and the amplified gradient /
+# objective noise corrupts the lane (F > m, recall drops). Entries below
+# ~2000 x macheps * sum(u) are numerically indistinguishable from "satisfied"
+# at working precision, so the homotopy treats them as such; DSD_HEU rounding
+# absorbs the sub-resolution stragglers. In f64 this floor (~4e-13 * sum(u))
+# stays far below the reference's 1e-9, preserving bit parity.
+_ACTIVITY_FACTOR = 2000.0
+
+
+def _eps_active(params_eps, scale, dtype):
+    mach = jnp.finfo(dtype).eps
+    return jnp.maximum(jnp.asarray(params_eps, dtype),
+                       (_ACTIVITY_FACTOR * mach) * scale)
+
+
+# Stalled-homotopy guard (reduced-precision modes only). Late in a solve the
+# penalty d can grow past the dtype's ability to MEASURE the objective: the
+# noise of re-evaluating d * u'(Cb u) across matvecs exceeds the line-search
+# tolerance, every honest step reads as a decrease, and the only "accepted"
+# candidates are backtracked to numerical freezing — so u stops moving while
+# the outer loop keeps bumping d (measured on TPU f32: lanes spin to
+# maxoliters=1000 at ~24 probes per outer). When the inner loop converges
+# immediately (no accepted step moved u by more than tol_u) for this many
+# CONSECUTIVE outer transitions, the iterate is converged at working
+# precision and the lane terminates. Disabled in f64, where the reference's
+# exact semantics (grind until the penalty tips a gradient sign) are kept.
+_STALL_OUTERS = 3
+
+
+def _stall_guard_enabled(dtype) -> bool:
+    return jnp.dtype(dtype) != jnp.dtype(jnp.float64)
 
 
 class PGAOperators(NamedTuple):
@@ -164,7 +204,7 @@ def run_pga(ops: PGAOperators, u0: jnp.ndarray, params: Params,
     def compute_d_terms(u):
         su = jnp.sum(u)
         Cbu = su - ops.mv_C(u) - u
-        eps_d = _eps_like(params.eps, su, dtype)
+        eps_d = _eps_active(params.eps, su, dtype)
         idxD = (Cbu > eps_d) & (u > eps)
         Mu = ops.mv_M(u) + u
         ratio = Mu / jnp.where(idxD, Cbu, 1.0)
@@ -212,9 +252,15 @@ def run_pga(ops: PGAOperators, u0: jnp.ndarray, params: Params,
 
         init = _InnerState(jnp.int32(0), u, gradF, F, jnp.asarray(False))
         s = jax.lax.while_loop(cond, body, init)
-        return s.u, s.F
+        # frozen: converged on the very first step without moving u — the
+        # stalled-homotopy signature (see _STALL_OUTERS)
+        tol_u = _eps_like(params.tol_u, 1.0, dtype)
+        frozen = (s.j <= 1) & (jnp.linalg.norm(s.u - u) < tol_u)
+        return s.u, s.F, frozen
 
     # ---- outer homotopy loop (reference: src/clipper.cpp:218-281) ----
+    stall_guard = _stall_guard_enabled(dtype)
+
     def outer_cond(s: _OuterState):
         return (~s.done) & (s.i < params.maxoliters)
 
@@ -222,7 +268,7 @@ def run_pga(ops: PGAOperators, u0: jnp.ndarray, params: Params,
         mv_Md = ops.make_mv_Md(s.d)
         gradF = grad_fn(s.u, s.d, mv_Md)
         F = jnp.dot(s.u, gradF)
-        u, F = inner_loop(s.u, gradF, F, s.d, mv_Md)
+        u, F, frozen = inner_loop(s.u, gradF, F, s.d, mv_Md)
 
         _, idxD, ratio = compute_d_terms(u)
         active = jnp.any(idxD)
@@ -231,10 +277,14 @@ def run_pga(ops: PGAOperators, u0: jnp.ndarray, params: Params,
         # ifinal semantics: the reference's `break` leaves i at the index of
         # the terminating iteration (reference: src/clipper.cpp:278-280,318).
         i = jnp.where(active, s.i + 1, s.i)
-        return _OuterState(i, u, d, F, ~active)
+        stall = jnp.where(frozen, s.stall + 1, 0)
+        done = ~active
+        if stall_guard:
+            done = done | (stall >= _STALL_OUTERS)
+        return _OuterState(i, u, d, F, done, stall)
 
     init = _OuterState(jnp.int32(0), u, d0, jnp.asarray(0.0, dtype),
-                       jnp.asarray(False))
+                       jnp.asarray(False), jnp.int32(0))
     s = jax.lax.while_loop(outer_cond, outer_body, init)
     return s.u, s.F, s.i
 

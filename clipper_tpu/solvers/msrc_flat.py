@@ -51,12 +51,26 @@ class _FlatState(NamedTuple):
     j: jnp.ndarray        # () inner iteration count
     i: jnp.ndarray        # () outer iteration count
     done: jnp.ndarray     # () lane finished
+    stall: jnp.ndarray    # () consecutive frozen-u outer transitions
     ticks: jnp.ndarray    # () diagnostic probe count
+    nback: jnp.ndarray    # () diagnostic backtrack (rejected-probe) count
 
 
 def _grad_from_mv(u, d, Mu, Cu):
-    """gradF = (1 + d) u - d 1 sum(u) + M u + d C u (reference: clipper.cpp:219)."""
-    return (1.0 + d) * u - d * jnp.sum(u) + Mu + Cu * d
+    """gradF = (M + I) u - d Cb u with Cb u = 1 sum(u) - C u - u.
+
+    Algebraically identical to the reference's expanded form
+    (1 + d) u - d 1 sum(u) + M u + d C u (reference: src/clipper.cpp:219),
+    but numerically far better when the homotopy penalty d is large: the
+    expanded form sums intermediates at scale d * sum(u) that cancel to an
+    O(1) result — in f32 a late-stage d ~ 1e4 (a genuine reference-semantics
+    step when only tiny violations remain) turns that cancellation into
+    catastrophic gradient noise and the solve collapses. Here every
+    intermediate is at the scale of its contribution: (M u + u) ~ O(F) and
+    d * Cbu ~ O(penalty), with Cbu's own cancellation happening BEFORE the
+    multiplication by d.
+    """
+    return (Mu + u) - d * (jnp.sum(u) - Cu - u)
 
 
 def flat_solve_single(
@@ -75,12 +89,13 @@ def flat_solve_single(
     """
     dtype = u0.dtype
     eps = jnp.asarray(params.eps, dtype)
+    stall_guard = msrc._stall_guard_enabled(dtype)
 
     def d_terms(u, Mu, Cu):
         su = jnp.sum(u)
         Cbu = su - Cu - u
-        # dtype-aware activity threshold (see msrc._eps_like)
-        eps_d = msrc._eps_like(params.eps, su, dtype)
+        # dtype-aware activity threshold (see msrc._eps_active)
+        eps_d = msrc._eps_active(params.eps, su, dtype)
         idxD = (Cbu > eps_d) & (u > eps)
         num = Mu + u
         ratio = num / jnp.where(idxD, Cbu, 1.0)
@@ -138,12 +153,21 @@ def flat_solve_single(
         outer_exhausted = i_next >= params.maxoliters
         lane_done = inner_done & (~active | outer_exhausted)
 
+        # stalled-homotopy guard (see msrc._STALL_OUTERS): inner converged on
+        # its first step without moving u, for several consecutive outers
+        frozen = inner_done & (s.j == 0) & (deltau < tol_u)
+        stall_next = jnp.where(inner_done,
+                               jnp.where(frozen, s.stall + 1, 0), s.stall)
+        if stall_guard:
+            lane_done = lane_done | (inner_done &
+                                     (stall_next >= msrc._STALL_OUTERS))
+
         # refreshed gradient/objective for the new d (same Mu/Cu — this IS
         # the matvec the reference recomputes at clipper.cpp:219)
         grad_refresh = _grad_from_mv(unew, d_new, Mu, Cu)
         F_refresh = jnp.dot(unew, grad_refresh)
 
-        take_outer = inner_done & active & ~outer_exhausted
+        take_outer = inner_done & active & ~outer_exhausted & ~lane_done
 
         u_out = jnp.where(accept, unew, s.u)
         gradF_out = jnp.where(take_outer, grad_refresh,
@@ -168,15 +192,185 @@ def flat_solve_single(
             j=jnp.where(frz, s.j, j_out),
             i=jnp.where(frz, s.i, i_out),
             done=s.done | lane_done,
+            stall=jnp.where(frz, s.stall, stall_next),
             ticks=jnp.where(frz, s.ticks, s.ticks + 1),
+            nback=jnp.where(frz | accept, s.nback, s.nback + 1),
         )
 
     init = _FlatState(u=u, gradF=gradF0, F=F0, d=d0, alpha=one,
                       lsk=jnp.int32(0), j=jnp.int32(0), i=jnp.int32(0),
-                      done=jnp.asarray(False), ticks=jnp.int32(0))
+                      done=jnp.asarray(False), stall=jnp.int32(0),
+                      ticks=jnp.int32(0), nback=jnp.int32(0))
     s = jax.lax.while_loop(cond, body, init)
     if return_ticks:
-        return s.u, s.F, s.i, s.ticks
+        return s.u, s.F, s.i, s.ticks, s.nback
+    return s.u, s.F, s.i
+
+
+def flat_solve_single_multiprobe(
+    dual_matvec: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    u0: jnp.ndarray,
+    params: Params = Params(),
+    *,
+    probes: int = 8,
+    return_ticks: bool = False,
+):
+    """Flat solver with a K-wide line search: K candidates per matvec tick.
+
+    The batch critical path of :func:`flat_solve_single` is dominated by
+    line-search backtracking (measured on the headline workload: the slowest
+    lane runs ~17 accepted steps but ~108 rejected probes — each one a full
+    matvec tick). Backtracking probes u + alpha beta^q gradF for successive
+    q are independent given (u, gradF), so evaluate ``probes`` of them in ONE
+    dual matvec: the (2m, m) @ (m, K) skinny matmul reads M exactly once —
+    the same HBM traffic as the K=1 GEMV, which is what a tick's cost is on
+    TPU (the MXU idles either way).
+
+    Semantics are IDENTICAL to the sequential backtracking line search of the
+    reference (reference: src/clipper.cpp:234-251): the accepted candidate is
+    the first position p (in backtracking order) with deltaF >= -eps or
+    p + 1 >= maxlsiters, and candidate step sizes are built by the same
+    repeated alpha * beta multiplication. Only float reduction order inside
+    the matvec may differ from the K=1 path.
+
+    dual_matvec must accept an (m, K) matrix of candidate columns and return
+    (M @ U, C @ U) — :func:`stacked_dual_matvec` already does.
+    """
+    K = int(probes)
+    assert K >= 1
+    dtype = u0.dtype
+    eps = jnp.asarray(params.eps, dtype)
+    beta = jnp.asarray(params.beta, dtype)
+    stall_guard = msrc._stall_guard_enabled(dtype)
+
+    def mv_vec(u):
+        Mu, Cu = dual_matvec(u[:, None])
+        return Mu[:, 0], Cu[:, 0]
+
+    def d_terms(u, Mu, Cu):
+        su = jnp.sum(u)
+        Cbu = su - Cu - u
+        eps_d = msrc._eps_active(params.eps, su, dtype)
+        idxD = (Cbu > eps_d) & (u > eps)
+        num = Mu + u
+        ratio = num / jnp.where(idxD, Cbu, 1.0)
+        return idxD, ratio
+
+    # ---- init (reference: clipper.cpp:193-209) ----
+    Mu0, _ = mv_vec(u0)
+    u = Mu0 + u0 if params.rescale_u0 else u0
+    u = u / jnp.linalg.norm(u)
+    Mu, Cu = mv_vec(u)
+    idxD, ratio = d_terms(u, Mu, Cu)
+    d0 = jnp.where(jnp.any(idxD), msrc._masked_mean(ratio, idxD), 0.0)
+    d0 = d0.astype(dtype)
+    gradF0 = _grad_from_mv(u, d0, Mu, Cu)
+    F0 = jnp.dot(u, gradF0)
+
+    one = jnp.asarray(1.0, dtype)
+
+    def cond(s: _FlatState):
+        return ~s.done
+
+    def body(s: _FlatState):
+        # ---- K probe candidates; alphas via the reference's repeated
+        # alpha *= beta so every candidate bit-matches the sequential path
+        a = s.alpha
+        alist = [a]
+        for _ in range(K - 1):
+            a = a * beta
+            alist.append(a)
+        alphas = jnp.stack(alist)                         # (K,)
+        U = jnp.maximum(s.u[:, None] + alphas[None, :] * s.gradF[:, None],
+                        0.0)
+        U = U / jnp.linalg.norm(U, axis=0, keepdims=True)
+        MU, CU = dual_matvec(U)                           # (m, K) each
+        sU = jnp.sum(U, axis=0)
+        # cancellation-free gradient form — see _grad_from_mv
+        gradFnewK = (MU + U) - s.d * (sU[None, :] - CU - U)
+        FnewK = jnp.einsum("mk,mk->k", U, gradFnewK)
+        deltaFK = FnewK - s.F
+
+        # ---- first acceptable candidate (reference: clipper.cpp:246-251)
+        eps_ls = msrc._eps_like(params.eps, jnp.abs(s.F), dtype)
+        pos = s.lsk + jnp.arange(K, dtype=s.lsk.dtype)
+        ok = (deltaFK >= -eps_ls) | (pos + 1 >= params.maxlsiters)
+        accept = jnp.any(ok)
+        q = jnp.argmax(ok)                                # first True
+        unew = jnp.take(U, q, axis=1)
+        Mu_q = jnp.take(MU, q, axis=1)
+        Cu_q = jnp.take(CU, q, axis=1)
+        gradFnew = jnp.take(gradFnewK, q, axis=1)
+        Fnew = FnewK[q]
+        deltaF = deltaFK[q]
+
+        # ---- inner-step update on accept (reference: clipper.cpp:253-261)
+        deltau = jnp.linalg.norm(unew - s.u)
+        tol_u = msrc._eps_like(params.tol_u, 1.0, dtype)
+        tol_F = msrc._eps_like(params.tol_F, jnp.abs(Fnew), dtype)
+        inner_conv = (deltau < tol_u) | (jnp.abs(deltaF) < tol_F)
+        j_next = s.j + 1
+        inner_done = accept & (inner_conv | (j_next >= params.maxiniters))
+
+        # ---- outer transition (reference: clipper.cpp:268-280, 218-220)
+        idxD, ratio = d_terms(unew, Mu_q, Cu_q)
+        active = jnp.any(idxD)
+        deltad = msrc._masked_mean(jnp.abs(ratio), idxD)
+        d_new = s.d + deltad
+        i_next = jnp.where(active, s.i + 1, s.i)
+        outer_exhausted = i_next >= params.maxoliters
+        lane_done = inner_done & (~active | outer_exhausted)
+
+        # stalled-homotopy guard (see msrc._STALL_OUTERS): inner converged on
+        # its first step without moving u, for several consecutive outers
+        frozen = inner_done & (s.j == 0) & (deltau < tol_u)
+        stall_next = jnp.where(inner_done,
+                               jnp.where(frozen, s.stall + 1, 0), s.stall)
+        if stall_guard:
+            lane_done = lane_done | (inner_done &
+                                     (stall_next >= msrc._STALL_OUTERS))
+
+        grad_refresh = _grad_from_mv(unew, d_new, Mu_q, Cu_q)
+        F_refresh = jnp.dot(unew, grad_refresh)
+
+        take_outer = inner_done & active & ~outer_exhausted & ~lane_done
+
+        u_out = jnp.where(accept, unew, s.u)
+        gradF_out = jnp.where(take_outer, grad_refresh,
+                              jnp.where(accept, gradFnew, s.gradF))
+        F_out = jnp.where(take_outer, F_refresh,
+                          jnp.where(accept, Fnew, s.F))
+        d_out = jnp.where(take_outer, d_new, s.d)
+        alpha_out = jnp.where(accept, one, alist[-1] * beta)
+        lsk_out = jnp.where(accept, 0, s.lsk + K)
+        j_out = jnp.where(inner_done, 0, jnp.where(accept, j_next, s.j))
+        i_out = jnp.where(inner_done, i_next, s.i)
+
+        frz = s.done
+        return _FlatState(
+            u=jnp.where(frz, s.u, u_out),
+            gradF=jnp.where(frz, s.gradF, gradF_out),
+            F=jnp.where(frz, s.F, F_out),
+            d=jnp.where(frz, s.d, d_out),
+            alpha=jnp.where(frz, s.alpha, alpha_out),
+            lsk=jnp.where(frz, s.lsk, lsk_out),
+            j=jnp.where(frz, s.j, j_out),
+            i=jnp.where(frz, s.i, i_out),
+            done=s.done | lane_done,
+            stall=jnp.where(frz, s.stall, stall_next),
+            ticks=jnp.where(frz, s.ticks, s.ticks + 1),
+            nback=jnp.where(frz, s.nback,
+                            s.nback + jnp.where(accept, q, K).astype(
+                                s.nback.dtype)),
+        )
+
+    init = _FlatState(u=u, gradF=gradF0, F=F0, d=d0, alpha=one,
+                      lsk=jnp.int32(0), j=jnp.int32(0), i=jnp.int32(0),
+                      done=jnp.asarray(False), stall=jnp.int32(0),
+                      ticks=jnp.int32(0), nback=jnp.int32(0))
+    s = jax.lax.while_loop(cond, body, init)
+    if return_ticks:
+        return s.u, s.F, s.i, s.ticks, s.nback
     return s.u, s.F, s.i
 
 
