@@ -29,9 +29,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from clipper_tpu.bench import data, harness
-    from clipper_tpu.parallel import batched
+    from clipper_tpu.parallel import pool
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     m = 1024
     rho = 0.9
     dtype = jnp.float32
@@ -50,12 +50,11 @@ def main():
 
     inv = harness.default_invariant()
     from clipper_tpu.types import Params
-    # flat state-machine solver + bf16-storage stacked matvec with f32
-    # accumulation/polish: highest-throughput config at identical P/R to f32
-    # (see BENCH.md)
-    pipe = batched.make_batched_pipeline(inv, Params(), shared_d1=True,
-                                         solver="flat",
-                                         matvec="stacked_bf16")
+    # pool (lane-compaction) engine + int8-quantized [M; C] storage with
+    # f32 accumulation and full-precision objective polish: the highest-
+    # throughput config at P/R identical to the f32 path (see BENCH.md)
+    pipe = pool.make_pool_pipeline(inv, Params(), lanes=128, window=16,
+                                   storage_dtype=jnp.int8, chunk=128)
 
     # compile + warm up (force a host fetch: through the device tunnel,
     # block_until_ready alone can return before execution completes)

@@ -49,7 +49,9 @@ def make_batched_pipeline(invariant: PairwiseInvariant,
         batching semantics make it much slower for large batches).
     matvec: for the flat solver, "stacked" ([M; C] single matmul),
         "stacked_bf16" (same, with bf16 storage / f32 accumulation and an
-        f32 final-objective polish), or "fused" (Pallas kernel computing
+        f32 final-objective polish), "stacked_int8" (int8 quantized
+        storage — 1/4 the HBM traffic, dequantization fused into the
+        matmul; same f32 polish), or "fused" (Pallas kernel computing
         M u and C u from one read of M; valid because C is the 0/1 pattern
         of M in this pipeline).
     probes: line-search width K for the flat solver. K > 1 evaluates K
@@ -74,6 +76,9 @@ def make_batched_pipeline(invariant: PairwiseInvariant,
                 mv = make_pattern_dual_matvec(M)
             elif matvec == "stacked_bf16":
                 mv = msrc_flat.stacked_dual_matvec(M, C, jnp.bfloat16)
+                polish = True
+            elif matvec == "stacked_int8":
+                mv = msrc_flat.stacked_dual_matvec(M, C, jnp.int8)
                 polish = True
             else:
                 mv = msrc_flat.stacked_dual_matvec(M, C)

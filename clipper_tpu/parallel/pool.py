@@ -1,0 +1,213 @@
+"""Pool scheduler: lane compaction for batched solves.
+
+The vmapped batch engine (parallel/batched.py) runs every problem in
+lock-step: the device executes max-over-lanes probe ticks, so with the
+measured tick distribution (median ~13, p99 ~100, max ~130 on the headline
+workload) ~85% of lane-ticks idle on already-converged problems. The
+reference has no analogue — it solves one problem per process
+(reference: src/clipper.cpp:69-78); this is the TPU-native throughput
+answer for large workloads.
+
+Design: a device-resident pool of W prepared problems feeds B active lanes.
+One jitted while_loop alternates
+
+  * ``window`` flat-solver ticks on the B lanes (the identical per-lane
+    state machine of solvers/msrc_flat.py — converged lanes freeze), and
+  * a compaction step: converged lanes write their result to the output
+    arrays and are refilled with the next problem from the pool (gather of
+    the stacked [M; C] storage + precomputed initial states).
+
+Device work tracks SUM of per-lane ticks (rounded up to the window) instead
+of max — a 4-6x reduction at the measured distributions. All control flow
+stays on-device; the host sees one jit call for the whole workload.
+
+A lane's arithmetic is tick-for-tick identical to flat_solve_single (same
+tick function, frozen-lane masking), so pool results match the plain
+batched engine exactly in f64.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from clipper_tpu.invariants.base import PairwiseInvariant
+from clipper_tpu.ops.affinity import score_pairwise_consistency
+from clipper_tpu.solvers import msrc, msrc_flat
+from clipper_tpu.types import Params, Rounding, Solution
+
+
+class _PoolState(NamedTuple):
+    lanes: msrc_flat._FlatState   # per-lane solver state, batched (B, ...)
+    idx: jnp.ndarray              # (B,) pool index held by each lane
+    active: jnp.ndarray           # (B,) lane holds an unfinished problem
+    next_ptr: jnp.ndarray         # () next unserved pool index
+    u_out: jnp.ndarray            # (W, m) final iterates
+    F_out: jnp.ndarray            # (W,) final objectives
+    i_out: jnp.ndarray            # (W,) outer-iteration counts
+    nwin: jnp.ndarray             # () windows executed (diagnostic)
+
+
+def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
+               params: Params = Params(), *, lanes: int = 128,
+               window: int = 8, return_windows: bool = False):
+    """Solve W prepared problems with B=lanes compacted lanes.
+
+    MCs: (W, 2m, m) stacked [M; C] per problem (any storage dtype; bf16
+        halves hot-loop HBM traffic). inits: batched initial lane states
+        from vmapped :func:`msrc_flat.flat_init` (working dtype = u0's).
+    Returns (u, F, ifinal) arrays of shape (W, m), (W,), (W,).
+    """
+    W, two_m, m = MCs.shape
+    B = min(lanes, W)
+    dtype = inits.u.dtype
+
+    # The tick indexes the pool directly (MCs[idx] inside the lane's matvec)
+    # instead of carrying a materialized (B, 2m, m) active-set buffer: the
+    # matvec reads the matrices from HBM every tick either way, so the
+    # indexed read costs nothing extra, while a carried buffer costs a
+    # 2x-pool-row gather + select every refill AND pessimizes the matmul
+    # layout (measured: ~12 ms/window refill overhead and ~2x tick cost).
+    def lane_tick(idx_lane, s):
+        dual = msrc_flat.make_stacked_matvec(MCs[idx_lane], dtype)
+        return msrc_flat.make_flat_tick(dual, params, dtype)(s)
+
+    vtick = jax.vmap(lane_tick)
+
+    def take_init(k):
+        return jax.tree.map(lambda a: a[k], inits)
+
+    # ---- initial fill: lanes 0..B-1 take pool problems 0..B-1 ----
+    idx0 = jnp.arange(B, dtype=jnp.int32)
+    lanes0 = take_init(idx0)
+    state0 = _PoolState(
+        lanes=lanes0,
+        idx=idx0,
+        active=jnp.ones(B, dtype=bool),
+        next_ptr=jnp.int32(B),
+        u_out=jnp.zeros((W, m), dtype),
+        F_out=jnp.zeros((W,), dtype),
+        i_out=jnp.zeros((W,), jnp.int32),
+        nwin=jnp.int32(0),
+    )
+
+    def cond(s: _PoolState):
+        return jnp.any(s.active)
+
+    def step(s: _PoolState):
+        # ---- run a window of ticks; converged lanes freeze themselves ----
+        safe_idx = jnp.clip(s.idx, 0, W - 1)
+        ls = jax.lax.fori_loop(0, window, lambda _, x: vtick(safe_idx, x),
+                               s.lanes)
+
+        # ---- write out finished lanes (scatter; inactive lanes dropped) ----
+        finished = ls.done & s.active
+        widx = jnp.where(finished, s.idx, W)     # W = out-of-bounds -> drop
+        u_out = s.u_out.at[widx].set(ls.u, mode="drop")
+        F_out = s.F_out.at[widx].set(ls.F, mode="drop")
+        i_out = s.i_out.at[widx].set(ls.i, mode="drop")
+
+        # ---- refill finished lanes with the next pool problems ----
+        rank = jnp.cumsum(finished) - 1          # 0-based among finished
+        new_idx = s.next_ptr + rank.astype(jnp.int32)
+        has_work = finished & (new_idx < W)
+        idx = jnp.where(has_work, new_idx, s.idx)
+        active = jnp.where(finished, has_work, s.active)
+        next_ptr = s.next_ptr + jnp.sum(finished, dtype=jnp.int32)
+
+        fresh = take_init(jnp.clip(idx, 0, W - 1))
+        refill = has_work
+
+        def pick(new, old):
+            mask = refill.reshape((B,) + (1,) * (old.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        lanes_next = jax.tree.map(pick, fresh, ls)
+        # exhausted lanes stay done; refilled lanes restart
+        lanes_next = lanes_next._replace(
+            done=jnp.where(refill, False, ls.done))
+
+        return _PoolState(lanes=lanes_next, idx=idx, active=active,
+                          next_ptr=next_ptr, u_out=u_out, F_out=F_out,
+                          i_out=i_out, nwin=s.nwin + 1)
+
+    out = jax.lax.while_loop(cond, step, state0)
+    if return_windows:
+        return out.u_out, out.F_out, out.i_out, out.nwin
+    return out.u_out, out.F_out, out.i_out
+
+
+def make_pool_pipeline(invariant: PairwiseInvariant,
+                       params: Params = Params(),
+                       affinityeps: float = 1e-4,
+                       shared_d1: bool = True,
+                       storage_dtype=jnp.bfloat16,
+                       lanes: int = 128,
+                       window: int = 8,
+                       chunk: Optional[int] = None):
+    """Compile (D1, D2s, As, u0s) -> batched Solution via the pool engine.
+
+    End-to-end: chunked affinity build into a device-resident [M; C] pool
+    (storage_dtype), vmapped flat_init, compacted pool solve, then a
+    full-precision polish pass (rebuild M in the working dtype, recompute
+    F = u'(M + I)u — the DSD_HEU rounding omega = round(F) needs F accurate
+    to well under 0.5, reference: src/clipper.cpp:305) and in-graph
+    rounding.
+
+    Shapes as in parallel.batched.make_batched_pipeline with shared_d1=True:
+    D1 (n1, d), D2s (W, n2, d), As (W, m, 2), u0s (W, m).
+    """
+    rounding = params.rounding
+    if rounding == Rounding.DSD:
+        rounding = Rounding.NONZERO
+
+    def build_one(D1, D2, A, u0):
+        M, C = score_pairwise_consistency(invariant, D1, D2, A,
+                                          affinityeps=affinityeps)
+        MC = jnp.concatenate([M, C], axis=0)
+        if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
+            MC_store = msrc_flat.quantize_stacked(MC)
+        elif storage_dtype is not None:
+            MC_store = MC.astype(storage_dtype)
+        else:
+            MC_store = MC
+        # init through the SAME storage matvec the pool loop uses, so a
+        # lane's trajectory is identical to the batched engine's
+        mv = msrc_flat.make_stacked_matvec(MC_store, u0.dtype)
+        init = msrc_flat.flat_init(mv, u0, params)
+        return MC_store, init
+
+    in_axes = (None if shared_d1 else 0, 0, 0, 0)
+    build = jax.jit(jax.vmap(build_one, in_axes=in_axes))
+
+    def polish_one(D1, D2, A, u, F, ifinal, u0):
+        M, _ = score_pairwise_consistency(invariant, D1, D2, A,
+                                          affinityeps=affinityeps)
+        Fp = jnp.dot(u, M @ u + u)
+        mask = msrc.round_solution(u, Fp, rounding)
+        return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=Fp)
+
+    polish = jax.jit(jax.vmap(polish_one, in_axes=in_axes + (0, 0, 0)))
+
+    solve = jax.jit(functools.partial(solve_pool, params=params,
+                                      lanes=lanes, window=window))
+
+    def pipeline(D1, D2s, As, u0s):
+        W = D2s.shape[0]
+        csize = chunk or W
+        MCs_parts, init_parts = [], []
+        for s in range(0, W, csize):
+            MCs_c, inits_c = build(D1, D2s[s:s + csize], As[s:s + csize],
+                                   u0s[s:s + csize])
+            MCs_parts.append(MCs_c)
+            init_parts.append(inits_c)
+        MCs = jnp.concatenate(MCs_parts) if len(MCs_parts) > 1 else MCs_parts[0]
+        inits = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *init_parts)
+                 if len(init_parts) > 1 else init_parts[0])
+        u, F, ifinal = solve(MCs, inits)
+        return polish(D1, D2s, As, u, F, ifinal, u0s)
+
+    return pipeline

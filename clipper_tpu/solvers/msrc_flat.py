@@ -73,35 +73,27 @@ def _grad_from_mv(u, d, Mu, Cu):
     return (Mu + u) - d * (jnp.sum(u) - Cu - u)
 
 
-def flat_solve_single(
-    dual_matvec: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
-    u0: jnp.ndarray,
-    params: Params = Params(),
-    *,
-    return_ticks: bool = False,
-):
-    """One lane of the flattened solver. vmap this for batches.
+def _d_terms(u, Mu, Cu, params, dtype):
+    """Activity mask and d-update ratios (reference: clipper.cpp:202-209)."""
+    eps = jnp.asarray(params.eps, dtype)
+    su = jnp.sum(u)
+    Cbu = su - Cu - u
+    # dtype-aware activity threshold (see msrc._eps_active)
+    eps_d = msrc._eps_active(params.eps, su, dtype)
+    idxD = (Cbu > eps_d) & (u > eps)
+    num = Mu + u
+    ratio = num / jnp.where(idxD, Cbu, 1.0)
+    return idxD, ratio
 
-    dual_matvec(u) must return (M @ u, C @ u).
-    Returns (u, F, ifinal) with reference semantics; with
-    ``return_ticks=True`` also the lane's total probe count (for tail
-    diagnostics under vmap).
+
+def flat_init(dual_matvec, u0, params: Params = Params()) -> _FlatState:
+    """Initial per-lane state (reference: clipper.cpp:193-209).
+
+    Shared by the while_loop driver (:func:`flat_solve_single`) and the
+    pool scheduler (clipper_tpu.parallel.pool) so both run the identical
+    trajectory.
     """
     dtype = u0.dtype
-    eps = jnp.asarray(params.eps, dtype)
-    stall_guard = msrc._stall_guard_enabled(dtype)
-
-    def d_terms(u, Mu, Cu):
-        su = jnp.sum(u)
-        Cbu = su - Cu - u
-        # dtype-aware activity threshold (see msrc._eps_active)
-        eps_d = msrc._eps_active(params.eps, su, dtype)
-        idxD = (Cbu > eps_d) & (u > eps)
-        num = Mu + u
-        ratio = num / jnp.where(idxD, Cbu, 1.0)
-        return idxD, ratio
-
-    # ---- init (reference: clipper.cpp:193-209) ----
     Mu0, _ = dual_matvec(u0)
     if params.rescale_u0:
         u = Mu0 + u0
@@ -109,16 +101,30 @@ def flat_solve_single(
         u = u0
     u = u / jnp.linalg.norm(u)
     Mu, Cu = dual_matvec(u)
-    idxD, ratio = d_terms(u, Mu, Cu)
+    idxD, ratio = _d_terms(u, Mu, Cu, params, dtype)
     d0 = jnp.where(jnp.any(idxD), msrc._masked_mean(ratio, idxD), 0.0)
     d0 = d0.astype(dtype)
     gradF0 = _grad_from_mv(u, d0, Mu, Cu)
     F0 = jnp.dot(u, gradF0)
+    return _FlatState(u=u, gradF=gradF0, F=F0, d=d0,
+                      alpha=jnp.asarray(1.0, dtype),
+                      lsk=jnp.int32(0), j=jnp.int32(0), i=jnp.int32(0),
+                      done=jnp.asarray(False), stall=jnp.int32(0),
+                      ticks=jnp.int32(0), nback=jnp.int32(0))
 
+
+def make_flat_tick(dual_matvec, params: Params, dtype):
+    """One probe tick of the flat state machine: _FlatState -> _FlatState.
+
+    Exactly the body of :func:`flat_solve_single`'s while_loop; lanes with
+    ``done`` set are frozen, so the tick can be driven by any schedule
+    (while_loop, fixed windows in a pool, ...) without changing results.
+    """
+    stall_guard = msrc._stall_guard_enabled(dtype)
     one = jnp.asarray(1.0, dtype)
 
-    def cond(s: _FlatState):
-        return ~s.done
+    def d_terms(u, Mu, Cu):
+        return _d_terms(u, Mu, Cu, params, dtype)
 
     def body(s: _FlatState):
         # ---- probe (reference: clipper.cpp:235-242) ----
@@ -197,11 +203,26 @@ def flat_solve_single(
             nback=jnp.where(frz | accept, s.nback, s.nback + 1),
         )
 
-    init = _FlatState(u=u, gradF=gradF0, F=F0, d=d0, alpha=one,
-                      lsk=jnp.int32(0), j=jnp.int32(0), i=jnp.int32(0),
-                      done=jnp.asarray(False), stall=jnp.int32(0),
-                      ticks=jnp.int32(0), nback=jnp.int32(0))
-    s = jax.lax.while_loop(cond, body, init)
+    return body
+
+
+def flat_solve_single(
+    dual_matvec: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    u0: jnp.ndarray,
+    params: Params = Params(),
+    *,
+    return_ticks: bool = False,
+):
+    """One lane of the flattened solver. vmap this for batches.
+
+    dual_matvec(u) must return (M @ u, C @ u).
+    Returns (u, F, ifinal) with reference semantics; with
+    ``return_ticks=True`` also the lane's total probe count (for tail
+    diagnostics under vmap).
+    """
+    tick = make_flat_tick(dual_matvec, params, u0.dtype)
+    init = flat_init(dual_matvec, u0, params)
+    s = jax.lax.while_loop(lambda s: ~s.done, tick, init)
     if return_ticks:
         return s.u, s.F, s.i, s.ticks, s.nback
     return s.u, s.F, s.i
@@ -387,22 +408,64 @@ def recompute_objective(dual_matvec, u: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(u, Mu + u)
 
 
+# int8 affinity quantization scale: M entries live in [0, 1] (Gaussian
+# consistency scores, reference: src/invariants/euclidean_distance.cpp:28),
+# C entries in {0, 1}; storing round(127 * [M; C]) lets ONE uniform 1/127
+# output scale serve both halves (C dequantizes exactly). Resolution 1/127
+# ~ 0.8% absolute — comparable to bf16's 0.4% relative at the entries that
+# carry the density; the final objective is re-polished in full precision
+# before rounding either way.
+_INT8_SCALE = 127.0
+
+
+def quantize_stacked(MC: jnp.ndarray) -> jnp.ndarray:
+    """[M; C] in [0, 1] -> int8 storage (see _INT8_SCALE)."""
+    q = jnp.round(MC * _INT8_SCALE)
+    return jnp.clip(q, 0, 127).astype(jnp.int8)
+
+
 def stacked_dual_matvec(M: jnp.ndarray, C: jnp.ndarray,
                         storage_dtype=None):
     """Default dual matvec: one matmul over the stacked [M; C] matrix.
 
-    storage_dtype=jnp.bfloat16 halves the HBM traffic of the hot loop; the
-    contraction still accumulates in f32 (preferred_element_type), and
+    storage_dtype=jnp.bfloat16 halves the HBM traffic of the hot loop;
+    storage_dtype=jnp.int8 quarters it (the int8->bf16 dequantization fuses
+    into the matmul, so HBM reads are the int8 bytes). The contraction
+    accumulates in f32 (preferred_element_type) for reduced storage, and
     callers should re-evaluate the final objective in full precision with
     :func:`recompute_objective` before rounding.
     """
     MC = jnp.concatenate([M, C], axis=0)   # (2m, m)
-    if storage_dtype is not None:
-        MC = MC.astype(storage_dtype)
     m = M.shape[0]
     out_dtype = M.dtype
-    # reduced storage accumulates in f32; full storage keeps its own
-    # precision (f64 parity path must accumulate in f64)
+    if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
+        return make_stacked_matvec(quantize_stacked(MC), out_dtype)
+    if storage_dtype is not None:
+        MC = MC.astype(storage_dtype)
+    return make_stacked_matvec(MC, out_dtype)
+
+
+def make_stacked_matvec(MC: jnp.ndarray, out_dtype):
+    """Dual matvec over prepared stacked storage (f64/f32/bf16/int8).
+
+    Shared by stacked_dual_matvec and the pool engine so a lane's
+    arithmetic is identical under either scheduler.
+    """
+    two_m = MC.shape[0]
+    m = two_m // 2
+    if MC.dtype == jnp.int8:
+        inv_scale = jnp.asarray(1.0 / _INT8_SCALE, out_dtype)
+
+        def mv(u):
+            y = jax.lax.dot_general(
+                MC.astype(jnp.bfloat16), u.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_dtype)
+            y = y * inv_scale
+            return y[:m], y[m:]
+
+        return mv
+
     acc_dtype = out_dtype if MC.dtype == out_dtype else jnp.float32
 
     def mv(u):

@@ -118,7 +118,7 @@ def test_multiprobe_matches_single_probe(probes):
     assert saw_backtracks, "test corpus never exercised the line search"
 
 
-@pytest.mark.parametrize("matvec", ["stacked", "stacked_bf16", "fused"])
+@pytest.mark.parametrize("matvec", ["stacked", "stacked_bf16", "stacked_int8", "fused"])
 def test_batched_pipeline_matvec_modes(matvec):
     """All matvec modes of the batched pipeline find the same cliques."""
     from clipper_tpu.parallel import batched

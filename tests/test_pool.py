@@ -1,0 +1,150 @@
+"""Pool (lane-compaction) engine vs plain batched engine parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import clipper_tpu as ct
+from clipper_tpu.parallel import batched, pool
+from clipper_tpu.solvers import msrc, msrc_flat
+
+from test_msrc_flat import random_graph
+
+
+def _prepare(rng, W, m=24, density=0.35):
+    Ms, Cs, u0s = [], [], []
+    for _ in range(W):
+        M, C = random_graph(rng, m=m, density=density)
+        Ms.append(M)
+        Cs.append(C)
+        u0s.append(rng.uniform(size=m))
+    Ms, Cs, u0s = map(lambda x: jnp.asarray(np.stack(x)), (Ms, Cs, u0s))
+    MCs = jnp.concatenate([Ms, Cs], axis=1)
+    inits = jax.vmap(
+        lambda M, C, u0: msrc_flat.flat_init(
+            msrc_flat.stacked_dual_matvec(M, C), u0, ct.Params()))(Ms, Cs, u0s)
+    return Ms, Cs, u0s, MCs, inits
+
+
+@pytest.mark.parametrize("W,lanes,window", [(7, 3, 4), (8, 8, 2),
+                                            (5, 8, 4), (12, 4, 1)])
+def test_pool_matches_flat_exactly(W, lanes, window):
+    """Compacted scheduling must not change any lane's trajectory.
+
+    The pool drives the identical tick function with frozen-lane masking,
+    so in f64 the final u/F/ifinal must equal flat_solve_single bit-for-bit
+    for every problem, for any lanes/window split of the workload
+    (including W < lanes, W not divisible by lanes, window=1).
+    """
+    rng = np.random.default_rng(42 + W)
+    Ms, Cs, u0s, MCs, inits = _prepare(rng, W)
+
+    u_p, F_p, i_p = jax.jit(
+        lambda MCs, inits: pool.solve_pool(MCs, inits, ct.Params(),
+                                           lanes=lanes, window=window))(
+        MCs, inits)
+
+    for w in range(W):
+        u_f, F_f, i_f = msrc_flat.flat_solve_single(
+            msrc_flat.stacked_dual_matvec(Ms[w], Cs[w]), u0s[w], ct.Params())
+        np.testing.assert_array_equal(np.asarray(u_p[w]), np.asarray(u_f),
+                                      err_msg=f"problem {w}")
+        assert float(F_p[w]) == float(F_f)
+        assert int(i_p[w]) == int(i_f)
+
+
+def test_pool_pipeline_matches_batched_masks():
+    """End-to-end pool pipeline selects the same cliques as the batched one."""
+    rng = np.random.default_rng(3)
+    W, n, ni, m = 9, 60, 20, 128
+    D1s, D2s, As = [], [], []
+    D1 = rng.uniform(size=(n, 3))
+    for _ in range(W):
+        th = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        D2 = D1 @ R.T
+        A = np.zeros((m, 2), dtype=np.int32)
+        A[:ni, 0] = A[:ni, 1] = np.arange(ni)
+        A[ni:, 0] = rng.integers(0, n, m - ni)
+        A[ni:, 1] = rng.integers(0, n, m - ni)
+        D2s.append(D2); As.append(A)
+    u0s = rng.uniform(size=(W, m)).astype(np.float32)
+
+    inv = ct.EuclideanDistance(ct.EuclideanDistanceParams(sigma=0.015,
+                                                          epsilon=0.05))
+    args = (jnp.asarray(D1, jnp.float32),
+            jnp.asarray(np.stack(D2s), jnp.float32),
+            jnp.asarray(np.stack(As)), jnp.asarray(u0s))
+
+    pp = pool.make_pool_pipeline(inv, ct.Params(), lanes=4, window=4,
+                                 chunk=4)
+    solns = pp(*args)
+    assert solns.mask.shape == (W, m)
+
+    ref = batched.make_batched_pipeline(inv, ct.Params(), shared_d1=True,
+                                        matvec="stacked_bf16")(*args)
+    for w in range(W):
+        sel_p = np.flatnonzero(np.asarray(solns.mask[w]))
+        sel_b = np.flatnonzero(np.asarray(ref.mask[w]))
+        assert (sel_p == sel_b).all(), (w, sel_p, sel_b)
+        # identical final iterates up to f32/bf16 scheduling noise
+        ub, up = np.asarray(ref.u[w]), np.asarray(solns.u[w])
+        corr = np.dot(ub, up) / (np.linalg.norm(ub) * np.linalg.norm(up))
+        assert corr > 0.999, (w, corr)
+
+
+@pytest.mark.parametrize("storage", [jnp.bfloat16, jnp.int8])
+def test_pool_reduced_storage_registration(storage):
+    """bf16/int8 pool storage recovers the inlier set on registration scenes.
+
+    Quantized storage (int8: +-0.4% entry perturbation, entries < 1/254
+    clipped to 0) may flip knife-edge line-search decisions and land in a
+    nearby basin on adversarial random graphs, but on the registration
+    workload the inlier clique dominates and the selected associations must
+    match the full-precision engine's almost everywhere (TPU P/R is the
+    end gate — see BENCH.md).
+    """
+    rng = np.random.default_rng(7)
+    W, n, ni, m = 8, 60, 20, 128
+    D1 = rng.uniform(size=(n, 3))
+    D2s, As = [], []
+    for _ in range(W):
+        th = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        D2 = D1 @ R.T + rng.normal(0, 0.003, size=(n, 3))
+        A = np.zeros((m, 2), dtype=np.int32)
+        A[:ni, 0] = A[:ni, 1] = np.arange(ni)
+        A[ni:, 0] = rng.integers(0, n, m - ni)
+        A[ni:, 1] = rng.integers(0, n, m - ni)
+        D2s.append(D2); As.append(A)
+    u0s = rng.uniform(size=(W, m)).astype(np.float32)
+
+    inv = ct.EuclideanDistance(ct.EuclideanDistanceParams(sigma=0.015,
+                                                          epsilon=0.05))
+    args = (jnp.asarray(D1, jnp.float32),
+            jnp.asarray(np.stack(D2s), jnp.float32),
+            jnp.asarray(np.stack(As)), jnp.asarray(u0s))
+    pp = pool.make_pool_pipeline(inv, ct.Params(), lanes=5, window=4,
+                                 storage_dtype=storage)
+    solns = pp(*args)
+
+    # the pool shares the tick/init functions with the batched engine, so
+    # per-problem masks must agree exactly for the same storage dtype
+    mv_mode = "stacked_bf16" if storage == jnp.bfloat16 else "stacked_int8"
+    ref = batched.make_batched_pipeline(inv, ct.Params(), shared_d1=True,
+                                        matvec=mv_mode)(*args)
+    assert (np.asarray(solns.mask) == np.asarray(ref.mask)).all()
+
+    # absolute quality gate on the bf16 path (the int8 path's quality is
+    # gated on the real m=1024 workload — see BENCH.md: identical P/R; on
+    # tiny m=128 scenes the +-0.4% quantization can flip the local basin)
+    if storage == jnp.bfloat16:
+        for w in range(W):
+            sel = set(np.flatnonzero(np.asarray(solns.mask[w])))
+            # R ~ 90% operating point: omega-rounding drops the weakest few
+            # inliers under noise (reference ex4 prints the same recall band)
+            assert len(sel & set(range(ni))) >= ni - 4, (w, sel)
+            assert len(sel - set(range(ni))) <= 3, (w, sel)
