@@ -53,15 +53,21 @@ class _PoolState(NamedTuple):
 
 def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
                params: Params = Params(), *, lanes: int = 128,
-               window: int = 8, return_windows: bool = False):
-    """Solve W prepared problems with B=lanes compacted lanes.
+               window: int = 8, problem_of: Optional[jnp.ndarray] = None,
+               return_windows: bool = False):
+    """Solve W prepared lane-instances with B=lanes compacted lanes.
 
-    MCs: (W, 2m, m) stacked [M; C] per problem (any storage dtype; bf16
-        halves hot-loop HBM traffic). inits: batched initial lane states
-        from vmapped :func:`msrc_flat.flat_init` (working dtype = u0's).
+    MCs: (P, 2m, m) stacked [M; C] per problem (any storage dtype; bf16
+        halves hot-loop HBM traffic, int8 quarters it). inits: W batched
+        initial lane states from vmapped :func:`msrc_flat.flat_init`
+        (working dtype = u0's). problem_of: optional (W,) i32 mapping each
+        init to its MCs row — lets several inits (multistart restarts)
+        share one stored matrix with zero duplication, since the tick
+        reads MCs[problem_of[idx]] directly. Default: identity (W == P).
     Returns (u, F, ifinal) arrays of shape (W, m), (W,), (W,).
     """
-    W, two_m, m = MCs.shape
+    P, two_m, m = MCs.shape
+    W = inits.u.shape[0]
     B = min(lanes, W)
     dtype = inits.u.dtype
 
@@ -72,7 +78,8 @@ def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
     # 2x-pool-row gather + select every refill AND pessimizes the matmul
     # layout (measured: ~12 ms/window refill overhead and ~2x tick cost).
     def lane_tick(idx_lane, s):
-        dual = msrc_flat.make_stacked_matvec(MCs[idx_lane], dtype)
+        mc_row = idx_lane if problem_of is None else problem_of[idx_lane]
+        dual = msrc_flat.make_stacked_matvec(MCs[mc_row], dtype)
         return msrc_flat.make_flat_tick(dual, params, dtype)(s)
 
     vtick = jax.vmap(lane_tick)
@@ -209,5 +216,92 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
                  if len(init_parts) > 1 else init_parts[0])
         u, F, ifinal = solve(MCs, inits)
         return polish(D1, D2s, As, u, F, ifinal, u0s)
+
+    return pipeline
+
+
+def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
+                                  params: Params = Params(),
+                                  restarts: int = 4,
+                                  affinityeps: float = 1e-4,
+                                  shared_d1: bool = True,
+                                  storage_dtype=jnp.bfloat16,
+                                  lanes: int = 128,
+                                  window: int = 8,
+                                  chunk: Optional[int] = None):
+    """Pool pipeline with K restarts per problem; keeps the densest cluster.
+
+    The PGA solver is a local method and different u0 can land on different
+    dense clusters (the reference documents the sensitivity —
+    reference: examples/matlab/ex3_planecloud.m:95-98, clipper.h:44-47).
+    Restarts are plain extra pool lanes sharing the problem's stored
+    [M; C] via `problem_of` (zero memory duplication), so K-way multistart
+    costs ~K/throughput, not K compilations or K copies of the pool.
+
+    Call: pipeline(D1, D2s, As, u0s) with u0s shaped (W, K, m); returns a
+    Solution over W problems, each the restart with the highest
+    full-precision objective u'(M + I)u.
+    """
+    K = int(restarts)
+    rounding = params.rounding
+    if rounding == Rounding.DSD:
+        rounding = Rounding.NONZERO
+
+    def build_one(D1, D2, A, u0K):
+        M, C = score_pairwise_consistency(invariant, D1, D2, A,
+                                          affinityeps=affinityeps)
+        MC = jnp.concatenate([M, C], axis=0)
+        if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
+            MC_store = msrc_flat.quantize_stacked(MC)
+        elif storage_dtype is not None:
+            MC_store = MC.astype(storage_dtype)
+        else:
+            MC_store = MC
+        mv = msrc_flat.make_stacked_matvec(MC_store, u0K.dtype)
+        inits = jax.vmap(lambda u0: msrc_flat.flat_init(mv, u0, params))(u0K)
+        return MC_store, inits
+
+    in_axes = (None if shared_d1 else 0, 0, 0, 0)
+    build = jax.jit(jax.vmap(build_one, in_axes=in_axes))
+
+    def polish_one(D1, D2, A, Us, u0K):
+        """Pick the restart with the best full-precision objective."""
+        M, _ = score_pairwise_consistency(invariant, D1, D2, A,
+                                          affinityeps=affinityeps)
+        MU = Us @ M                                    # (K, m)
+        Fp = jnp.sum(MU * Us, axis=1) + jnp.sum(Us * Us, axis=1)
+        best = jnp.argmax(Fp)
+        u = Us[best]
+        F = Fp[best]
+        mask = msrc.round_solution(u, F, rounding)
+        return Solution(ifinal=jnp.int32(best), mask=mask, u0=u0K[best],
+                        u=u, score=F)
+
+    polish = jax.jit(jax.vmap(polish_one, in_axes=in_axes + (0,)))
+
+    def pipeline(D1, D2s, As, u0s):
+        W = D2s.shape[0]
+        assert u0s.ndim == 3 and u0s.shape[:2] == (W, K), (
+            f"u0s must be (W={W}, K={K}, m); got {u0s.shape}")
+        csize = chunk or W
+        MCs_parts, init_parts = [], []
+        for s in range(0, W, csize):
+            MCs_c, inits_c = build(D1, D2s[s:s + csize], As[s:s + csize],
+                                   u0s[s:s + csize])
+            MCs_parts.append(MCs_c)
+            init_parts.append(inits_c)
+        MCs = (jnp.concatenate(MCs_parts) if len(MCs_parts) > 1
+               else MCs_parts[0])
+        inits = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *init_parts)
+                 if len(init_parts) > 1 else init_parts[0])
+        # flatten (W, K, ...) -> (W*K, ...) lane instances over W matrices
+        inits = jax.tree.map(
+            lambda a: a.reshape((W * K,) + a.shape[2:]), inits)
+        problem_of = jnp.repeat(jnp.arange(W, dtype=jnp.int32), K)
+        solve = jax.jit(functools.partial(solve_pool, params=params,
+                                          lanes=lanes, window=window))
+        u, F, ifinal = solve(MCs, inits, problem_of=problem_of)
+        Us = u.reshape(W, K, -1)
+        return polish(D1, D2s, As, Us, u0s)
 
     return pipeline

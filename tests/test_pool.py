@@ -148,3 +148,43 @@ def test_pool_reduced_storage_registration(storage):
             # inliers under noise (reference ex4 prints the same recall band)
             assert len(sel & set(range(ni))) >= ni - 4, (w, sel)
             assert len(sel - set(range(ni))) <= 3, (w, sel)
+
+
+def test_pool_multistart_best_of_k():
+    """Best-of-K multistart dominates the single-init pipeline objective."""
+    rng = np.random.default_rng(21)
+    W, K, n, ni, m = 6, 3, 60, 20, 128
+    D1 = rng.uniform(size=(n, 3))
+    D2s, As = [], []
+    for _ in range(W):
+        th = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        D2 = D1 @ R.T + rng.normal(0, 0.003, size=(n, 3))
+        A = np.zeros((m, 2), dtype=np.int32)
+        A[:ni, 0] = A[:ni, 1] = np.arange(ni)
+        A[ni:, 0] = rng.integers(0, n, m - ni)
+        A[ni:, 1] = rng.integers(0, n, m - ni)
+        D2s.append(D2); As.append(A)
+    u0s = rng.uniform(size=(W, K, m)).astype(np.float32)
+
+    inv = ct.EuclideanDistance(ct.EuclideanDistanceParams(sigma=0.015,
+                                                          epsilon=0.05))
+    D1j = jnp.asarray(D1, jnp.float32)
+    D2j = jnp.asarray(np.stack(D2s), jnp.float32)
+    Aj = jnp.asarray(np.stack(As))
+    u0j = jnp.asarray(u0s)
+
+    ms = pool.make_pool_multistart_pipeline(inv, ct.Params(), restarts=K,
+                                            lanes=5, window=4)
+    best = ms(D1j, D2j, Aj, u0j)
+    assert best.mask.shape == (W, m)
+    assert best.u.shape == (W, m)
+
+    # restart 0 alone = the plain pipeline; best-of-K must score >= it
+    pp = pool.make_pool_pipeline(inv, ct.Params(), lanes=5, window=4)
+    single = pp(D1j, D2j, Aj, u0j[:, 0])
+    for w in range(W):
+        assert float(best.score[w]) >= float(single.score[w]) - 1e-4, w
+        sel = set(np.flatnonzero(np.asarray(best.mask[w])))
+        assert len(sel & set(range(ni))) >= ni - 4, (w, sel)
