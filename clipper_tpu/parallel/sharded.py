@@ -34,7 +34,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from clipper_tpu.invariants.base import PairwiseInvariant
-from clipper_tpu.solvers import msrc
+from clipper_tpu.solvers import msrc, msrc_flat
 from clipper_tpu.types import Params, Rounding, Solution
 
 
@@ -144,15 +144,74 @@ def _affinity_block(invariant, P1, P2, A, m_true: int, mr: int, mc: int,
     return M_blk, C_blk
 
 
+def sharded_dual_matvec(MC_store, mr: int, mc: int, out_dtype,
+                        axis_names=("r", "c")):
+    """u -> (M u, C u) over block-sharded stacked [M; C] storage.
+
+    MC_store is this device's (2 mr, mc) block in f64/f32/bf16/int8 (int8 =
+    quantize_stacked scaling). Accepts (m,) vectors or (m, K) multiprobe
+    candidate matrices (replicated); one local matmul + psum over the column
+    axis + two row-axis all_gathers per probe. Mirrors
+    msrc_flat.make_stacked_matvec so the sharded flat solver runs the same
+    arithmetic as the dense one, with collectives inserted.
+    """
+    r_ax, c_ax = axis_names
+
+    if MC_store.dtype == jnp.int8:
+        inv_scale = jnp.asarray(1.0 / msrc_flat._INT8_SCALE, out_dtype)
+
+        def local(u_c):
+            y = jax.lax.dot_general(
+                MC_store.astype(jnp.bfloat16), u_c.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_dtype)
+            return y * inv_scale
+    else:
+        acc = out_dtype if MC_store.dtype == out_dtype else jnp.float32
+
+        def local(u_c):
+            return jax.lax.dot_general(
+                MC_store, u_c.astype(MC_store.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc).astype(out_dtype)
+
+    def mv(u):
+        ci = jax.lax.axis_index(c_ax)
+        u_c = jax.lax.dynamic_slice_in_dim(u, ci * mc, mc, axis=0)
+        y = jax.lax.psum(local(u_c), c_ax)
+        Mu = jax.lax.all_gather(y[:mr], r_ax, tiled=True)
+        Cu = jax.lax.all_gather(y[mr:], r_ax, tiled=True)
+        return Mu, Cu
+
+    return mv
+
+
 def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
                            params: Params = Params(),
-                           affinityeps: float = 1e-4):
+                           affinityeps: float = 1e-4,
+                           solver: str = "flat",
+                           storage_dtype=None,
+                           probes: int = 1):
     """Compile a full sharded pipeline: endpoints -> affinity blocks -> solve.
 
     Returns a jitted function (P1, P2, A, u0, m_true) -> (u, F, ifinal, mask)
     where P1/P2 are (m_pad, d) gathered endpoints (padded; see pad_problem),
     A is (m_pad, 2), u0 is (m_pad,), and m_true the unpadded size.
+
+    solver: "flat" (default; the per-lane state machine with the
+        cancellation-free gradient and stall guard — identical trajectory
+        to the dense flat engine) or "nested" (the reference-shaped loop).
+    storage_dtype (flat only): None keeps the working dtype; jnp.bfloat16 /
+        jnp.int8 store the [M; C] blocks reduced — 2x / 4x less per-chip
+        HBM for the dominant buffers AND matvec traffic, which is what sets
+        the per-chip memory ceiling at m >= 100k. The final objective is
+        re-polished against a full-precision rebuilt M block.
+    probes (flat only): K-wide line search (see
+        msrc_flat.flat_solve_single_multiprobe) — pays on single large
+        problems where the probe sequence is the critical path.
     """
+    if solver not in ("flat", "nested"):
+        raise ValueError(f"solver must be 'flat' or 'nested', got {solver!r}")
     r_ax, c_ax = mesh.axis_names
     R = mesh.shape[r_ax]
     C = mesh.shape[c_ax]
@@ -162,8 +221,31 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
         mr, mc = m_pad // R, m_pad // C
         M_blk, C_blk = _affinity_block(invariant, P1, P2, A, m_true, mr, mc,
                                        affinityeps, (r_ax, c_ax))
-        ops = sharded_operators(M_blk, C_blk, mc, (r_ax, c_ax))
-        u, F, ifinal = msrc.run_pga(ops, u0, params, dtype=P1.dtype)
+        if solver == "nested":
+            ops = sharded_operators(M_blk, C_blk, mc, (r_ax, c_ax))
+            return msrc.run_pga(ops, u0, params, dtype=P1.dtype)
+
+        MC_blk = jnp.concatenate([M_blk, C_blk], axis=0)
+        if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
+            MC_store = msrc_flat.quantize_stacked(MC_blk)
+        elif storage_dtype is not None:
+            MC_store = MC_blk.astype(storage_dtype)
+        else:
+            MC_store = MC_blk
+        dual = sharded_dual_matvec(MC_store, mr, mc, P1.dtype,
+                                   (r_ax, c_ax))
+        if probes > 1:
+            u, F, ifinal = msrc_flat.flat_solve_single_multiprobe(
+                dual, u0, params, probes=probes)
+        else:
+            u, F, ifinal = msrc_flat.flat_solve_single(dual, u0, params)
+        if storage_dtype is not None:
+            # full-precision objective polish: omega = round(F) needs F
+            # accurate to well under 0.5 (reference: src/clipper.cpp:305)
+            full = sharded_dual_matvec(MC_blk, mr, mc, P1.dtype,
+                                       (r_ax, c_ax))
+            Mu, _ = full(u)
+            F = jnp.dot(u, Mu + u)
         return u, F, ifinal
 
     shmapped = jax.shard_map(
@@ -189,10 +271,12 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
 
 def solve_sharded(invariant: PairwiseInvariant, D1, D2, A, u0,
                   params: Params = Params(), mesh: Optional[Mesh] = None,
-                  *, affinityeps: float = 1e-4) -> Solution:
+                  *, affinityeps: float = 1e-4, solver: str = "flat",
+                  storage_dtype=None, probes: int = 1) -> Solution:
     """End-to-end sharded solve of one large problem.
 
     D1/D2 are (n, d) row-major datasets; A is (m, 2); u0 is (m,).
+    See :func:`build_sharded_pipeline` for solver/storage_dtype/probes.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -209,6 +293,9 @@ def solve_sharded(invariant: PairwiseInvariant, D1, D2, A, u0,
     P1, P2, u0p = pad_problem(P1, P2, u0, m_pad)
     A_pad = jnp.pad(A, ((0, m_pad - m), (0, 0)), constant_values=-1)
 
-    pipeline = build_sharded_pipeline(invariant, mesh, params, affinityeps)
+    pipeline = build_sharded_pipeline(invariant, mesh, params, affinityeps,
+                                      solver=solver,
+                                      storage_dtype=storage_dtype,
+                                      probes=probes)
     u, F, ifinal, mask = pipeline(P1, P2, A_pad, u0p, m)
     return Solution(ifinal=ifinal, mask=mask[:m], u0=u0, u=u[:m], score=F)
