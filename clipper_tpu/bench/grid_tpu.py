@@ -39,7 +39,8 @@ def main():
     pcd0 = harness.load_bunny()
     inv = harness.default_invariant()
     pipe = batched.make_batched_pipeline(inv, Params(), shared_d1=True,
-                                         solver="flat")
+                                         solver="flat",
+                                         matvec="stacked_bf16")
 
     print("| rho | m | end-to-end/problem [ms] | batch total [ms] | P [%] | R [%] |")
     print("|---|---|---|---|---|---|")

@@ -147,6 +147,32 @@ def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
     return out.u_out, out.F_out, out.i_out
 
 
+def support_polish(invariant: PairwiseInvariant, D1, D2, A, u,
+                   affinityeps: float = 1e-4, k: int = 256):
+    """Full-precision objective u'(M + I)u restricted to u's top-k support.
+
+    At convergence u is supported on ~omega entries (the projection zeroes
+    the rest exactly), so F = sum_{ij} M_ij u_i u_j only needs M's (k, k)
+    block on the largest k entries — O(k^2) invariant evaluations instead
+    of rebuilding the full (m, m) affinity. Exact whenever u has <= k
+    nonzeros (the typical converged state); stall-guard stragglers below
+    the top k contribute O(|u_tail|) and are negligible against the 0.5
+    omega-rounding margin (validated against the full rebuild in tests).
+    """
+    m = u.shape[0]
+    k = min(k, m)
+    vals, idx = jax.lax.top_k(u, k)
+    Ak = A[idx]
+    P1 = D1[Ak[:, 0]]
+    P2 = D2[Ak[:, 1]]
+    scores = invariant.score_block(P1, P1, P2, P2)
+    from clipper_tpu.ops.affinity import distinctness_mask
+    keep = distinctness_mask(Ak) & (scores > affinityeps)
+    Mu_blk = jnp.triu(jnp.where(keep, scores, 0.0), k=1)
+    Mk = Mu_blk + Mu_blk.T
+    return vals @ (Mk @ vals) + jnp.dot(u, u)
+
+
 def make_pool_pipeline(invariant: PairwiseInvariant,
                        params: Params = Params(),
                        affinityeps: float = 1e-4,
@@ -154,6 +180,7 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
                        storage_dtype=jnp.bfloat16,
                        lanes: int = 128,
                        window: int = 8,
+                       support: Optional[int] = 256,
                        chunk: Optional[int] = None):
     """Compile (D1, D2s, As, u0s) -> batched Solution via the pool engine.
 
@@ -166,6 +193,9 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
 
     Shapes as in parallel.batched.make_batched_pipeline with shared_d1=True:
     D1 (n1, d), D2s (W, n2, d), As (W, m, 2), u0s (W, m).
+
+    support: top-k support size for the polish (see support_polish);
+    None rebuilds the full (m, m) affinity for the polish instead.
     """
     rounding = params.rounding
     if rounding == Rounding.DSD:
@@ -191,9 +221,13 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     build = jax.jit(jax.vmap(build_one, in_axes=in_axes))
 
     def polish_one(D1, D2, A, u, F, ifinal, u0):
-        M, _ = score_pairwise_consistency(invariant, D1, D2, A,
-                                          affinityeps=affinityeps)
-        Fp = jnp.dot(u, M @ u + u)
+        if support is not None:
+            Fp = support_polish(invariant, D1, D2, A, u,
+                                affinityeps=affinityeps, k=support)
+        else:
+            M, _ = score_pairwise_consistency(invariant, D1, D2, A,
+                                              affinityeps=affinityeps)
+            Fp = jnp.dot(u, M @ u + u)
         mask = msrc.round_solution(u, Fp, rounding)
         return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=Fp)
 

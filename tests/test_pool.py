@@ -188,3 +188,36 @@ def test_pool_multistart_best_of_k():
         assert float(best.score[w]) >= float(single.score[w]) - 1e-4, w
         sel = set(np.flatnonzero(np.asarray(best.mask[w])))
         assert len(sel & set(range(ni))) >= ni - 4, (w, sel)
+
+
+def test_support_polish_matches_full_rebuild():
+    """Top-k-restricted polish agrees with the full-affinity objective."""
+    rng = np.random.default_rng(31)
+    n, ni, m = 60, 20, 128
+    D1 = rng.uniform(size=(n, 3))
+    inv = ct.EuclideanDistance(ct.EuclideanDistanceParams(sigma=0.015,
+                                                          epsilon=0.05))
+    for trial in range(4):
+        th = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        D2 = D1 @ R.T + rng.normal(0, 0.003, size=(n, 3))
+        A = np.zeros((m, 2), dtype=np.int32)
+        A[:ni, 0] = A[:ni, 1] = np.arange(ni)
+        A[ni:, 0] = rng.integers(0, n, m - ni)
+        A[ni:, 1] = rng.integers(0, n, m - ni)
+        u0 = jnp.asarray(rng.uniform(size=m), jnp.float32)
+        D1j = jnp.asarray(D1, jnp.float32)
+        D2j = jnp.asarray(D2, jnp.float32)
+        Aj = jnp.asarray(A)
+        from clipper_tpu.ops.affinity import score_pairwise_consistency
+        M, C = score_pairwise_consistency(inv, D1j, D2j, Aj)
+        u, F, i = msrc_flat.flat_solve_single(
+            msrc_flat.stacked_dual_matvec(M, C, jnp.bfloat16), u0,
+            ct.Params())
+        F_full = float(jnp.dot(u, M @ u + u))
+        F_sup = float(pool.support_polish(inv, D1j, D2j, Aj, u, k=64))
+        assert abs(F_sup - F_full) < 0.05, (trial, F_sup, F_full)
+        # and with k >= nonzero support it is (near-)exact
+        F_sup_big = float(pool.support_polish(inv, D1j, D2j, Aj, u, k=m))
+        assert abs(F_sup_big - F_full) < 1e-3, (trial, F_sup_big, F_full)
