@@ -54,7 +54,8 @@ def main():
     # f32 accumulation and full-precision objective polish: the highest-
     # throughput config at P/R identical to the f32 path (see BENCH.md)
     pipe = pool.make_pool_pipeline(inv, Params(), lanes=128, window=16,
-                                   storage_dtype=jnp.int8, chunk=128)
+                                   storage_dtype=jnp.int8, power_steps=4,
+                                   chunk=128)
 
     # compile + warm up (force a host fetch: through the device tunnel,
     # block_until_ready alone can return before execution completes)

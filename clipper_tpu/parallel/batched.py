@@ -37,7 +37,8 @@ def make_batched_pipeline(invariant: PairwiseInvariant,
                           shared_d1: bool = False,
                           solver: str = "flat",
                           matvec: str = "stacked",
-                          probes: int = 1):
+                          probes: int = 1,
+                          power_steps: int = 0):
     """Compile (D1s, D2s, As, u0s) -> batched Solution.
 
     Shapes: D1s (B, n1, d) — or (n1, d) if shared_d1, D2s (B, n2, d),
@@ -59,6 +60,9 @@ def make_batched_pipeline(invariant: PairwiseInvariant,
         cost on TPU), collapsing the backtrack-dominated batch tail; the
         accepted candidate matches the sequential line search exactly.
         Requires matvec "stacked"/"stacked_bf16".
+    power_steps: extra power-iteration init steps on u0 before solving
+        (see msrc_flat.power_init) — kills the backtracking tail that sets
+        a lock-step batch's critical path; 0 = the reference trajectory.
     """
     from clipper_tpu.solvers import msrc_flat
 
@@ -82,6 +86,8 @@ def make_batched_pipeline(invariant: PairwiseInvariant,
                 polish = True
             else:
                 mv = msrc_flat.stacked_dual_matvec(M, C)
+            if power_steps:
+                u0 = msrc_flat.power_init(mv, u0, power_steps)
             if probes > 1:
                 assert matvec != "fused", "multiprobe needs the stacked matvec"
                 u, F, ifinal = msrc_flat.flat_solve_single_multiprobe(

@@ -181,6 +181,7 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
                        lanes: int = 128,
                        window: int = 8,
                        support: Optional[int] = 256,
+                       power_steps: int = 0,
                        chunk: Optional[int] = None):
     """Compile (D1, D2s, As, u0s) -> batched Solution via the pool engine.
 
@@ -214,6 +215,8 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
         # init through the SAME storage matvec the pool loop uses, so a
         # lane's trajectory is identical to the batched engine's
         mv = msrc_flat.make_stacked_matvec(MC_store, u0.dtype)
+        if power_steps:
+            u0 = msrc_flat.power_init(mv, u0, power_steps)
         init = msrc_flat.flat_init(mv, u0, params)
         return MC_store, init
 
@@ -262,6 +265,7 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
                                   storage_dtype=jnp.bfloat16,
                                   lanes: int = 128,
                                   window: int = 8,
+                                  power_steps: int = 0,
                                   chunk: Optional[int] = None):
     """Pool pipeline with K restarts per problem; keeps the densest cluster.
 
@@ -292,7 +296,13 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
         else:
             MC_store = MC
         mv = msrc_flat.make_stacked_matvec(MC_store, u0K.dtype)
-        inits = jax.vmap(lambda u0: msrc_flat.flat_init(mv, u0, params))(u0K)
+
+        def one_init(u0):
+            if power_steps:
+                u0 = msrc_flat.power_init(mv, u0, power_steps)
+            return msrc_flat.flat_init(mv, u0, params)
+
+        inits = jax.vmap(one_init)(u0K)
         return MC_store, inits
 
     in_axes = (None if shared_d1 else 0, 0, 0, 0)

@@ -191,7 +191,8 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
                            affinityeps: float = 1e-4,
                            solver: str = "flat",
                            storage_dtype=None,
-                           probes: int = 1):
+                           probes: int = 1,
+                           power_steps: int = 0):
     """Compile a full sharded pipeline: endpoints -> affinity blocks -> solve.
 
     Returns a jitted function (P1, P2, A, u0, m_true) -> (u, F, ifinal, mask)
@@ -234,6 +235,8 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
             MC_store = MC_blk
         dual = sharded_dual_matvec(MC_store, mr, mc, P1.dtype,
                                    (r_ax, c_ax))
+        if power_steps:
+            u0 = msrc_flat.power_init(dual, u0, power_steps)
         if probes > 1:
             u, F, ifinal = msrc_flat.flat_solve_single_multiprobe(
                 dual, u0, params, probes=probes)
@@ -272,7 +275,8 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
 def solve_sharded(invariant: PairwiseInvariant, D1, D2, A, u0,
                   params: Params = Params(), mesh: Optional[Mesh] = None,
                   *, affinityeps: float = 1e-4, solver: str = "flat",
-                  storage_dtype=None, probes: int = 1) -> Solution:
+                  storage_dtype=None, probes: int = 1,
+                  power_steps: int = 0) -> Solution:
     """End-to-end sharded solve of one large problem.
 
     D1/D2 are (n, d) row-major datasets; A is (m, 2); u0 is (m,).
@@ -296,6 +300,7 @@ def solve_sharded(invariant: PairwiseInvariant, D1, D2, A, u0,
     pipeline = build_sharded_pipeline(invariant, mesh, params, affinityeps,
                                       solver=solver,
                                       storage_dtype=storage_dtype,
-                                      probes=probes)
+                                      probes=probes,
+                                      power_steps=power_steps)
     u, F, ifinal, mask = pipeline(P1, P2, A_pad, u0p, m)
     return Solution(ifinal=ifinal, mask=mask[:m], u0=u0, u=u[:m], score=F)

