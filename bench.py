@@ -53,7 +53,7 @@ def main():
     # pool (lane-compaction) engine + int8-quantized [M; C] storage with
     # f32 accumulation and full-precision objective polish: the highest-
     # throughput config at P/R identical to the f32 path (see BENCH.md)
-    pipe = pool.make_pool_pipeline(inv, Params(), lanes=128, window=16,
+    pipe = pool.make_pool_pipeline(inv, Params(), lanes=128, window=12,
                                    storage_dtype=jnp.int8, power_steps=4,
                                    chunk=128)
 
