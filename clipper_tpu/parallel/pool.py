@@ -182,7 +182,9 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
                        window: int = 8,
                        support: Optional[int] = 256,
                        power_steps: int = 0,
-                       chunk: Optional[int] = None):
+                       chunk: Optional[int] = None,
+                       mesh=None,
+                       axis_name: str = "b"):
     """Compile (D1, D2s, As, u0s) -> batched Solution via the pool engine.
 
     End-to-end: chunked affinity build into a device-resident [M; C] pool
@@ -197,6 +199,14 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
 
     support: top-k support size for the polish (see support_polish);
     None rebuilds the full (m, m) affinity for the polish instead.
+
+    mesh: optional jax.sharding.Mesh for data-parallel scale-out — the W
+    problems are sharded over ``axis_name`` and each device runs its own
+    independent lane-compaction loop under shard_map (no collectives; a
+    slow shard never stalls another's compute). W must divide evenly.
+    The build/polish stages auto-partition under jit from the input
+    shardings. The pool engine is a per-chip scheduler; this is the
+    multi-chip throughput configuration.
     """
     rounding = params.rounding
     if rounding == Rounding.DSD:
@@ -236,12 +246,39 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
 
     polish = jax.jit(jax.vmap(polish_one, in_axes=in_axes + (0, 0, 0)))
 
-    solve = jax.jit(functools.partial(solve_pool, params=params,
-                                      lanes=lanes, window=window))
+    if mesh is None:
+        solve = jax.jit(functools.partial(solve_pool, params=params,
+                                          lanes=lanes, window=window))
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        def _local(MCs, inits):
+            return solve_pool(MCs, inits, params, lanes=lanes, window=window)
+
+        state_spec = jax.tree.map(lambda _: Pspec(axis_name),
+                                  msrc_flat._FlatState(*([0] * 12)))
+        solve = jax.jit(jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(Pspec(axis_name), state_spec),
+            out_specs=(Pspec(axis_name), Pspec(axis_name), Pspec(axis_name)),
+            check_vma=False,
+        ))
 
     def pipeline(D1, D2s, As, u0s):
         W = D2s.shape[0]
-        csize = chunk or W
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+            D = mesh.shape[axis_name]
+            assert W % D == 0, (
+                f"workload W={W} must be divisible by mesh size {D}")
+            bshard = NamedSharding(mesh, Pspec(axis_name))
+            D2s = jax.device_put(D2s, bshard)
+            As = jax.device_put(As, bshard)
+            u0s = jax.device_put(u0s, bshard)
+            D1 = jax.device_put(D1, NamedSharding(mesh, Pspec()))
+        # chunked building would slice across shard boundaries; under a mesh
+        # the single sharded build call auto-partitions instead
+        csize = W if mesh is not None else (chunk or W)
         MCs_parts, init_parts = [], []
         for s in range(0, W, csize):
             MCs_c, inits_c = build(D1, D2s[s:s + csize], As[s:s + csize],
@@ -349,3 +386,4 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
         return polish(D1, D2s, As, Us, u0s)
 
     return pipeline
+

@@ -252,3 +252,40 @@ def test_power_init_quality():
         sel = set(np.flatnonzero(np.asarray(solns.mask[w])))
         assert len(sel & set(range(ni))) >= ni - 4, (w, sel)
         assert len(sel - set(range(ni))) <= 3, (w, sel)
+
+
+def test_pool_mesh_data_parallel_matches_single_device():
+    """mesh= pool: per-device loops produce the identical per-problem masks."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(51)
+    W, n, ni, m = 16, 60, 20, 128
+    D1 = rng.uniform(size=(n, 3))
+    D2s, As = [], []
+    for _ in range(W):
+        th = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        D2s.append(D1 @ R.T + rng.normal(0, 0.003, size=(n, 3)))
+        A = np.zeros((m, 2), dtype=np.int32)
+        A[:ni, 0] = A[:ni, 1] = np.arange(ni)
+        A[ni:, 0] = rng.integers(0, n, m - ni)
+        A[ni:, 1] = rng.integers(0, n, m - ni)
+        As.append(A)
+    u0s = rng.uniform(size=(W, m)).astype(np.float32)
+    inv = ct.EuclideanDistance(ct.EuclideanDistanceParams(sigma=0.015,
+                                                          epsilon=0.05))
+    args = (jnp.asarray(D1, jnp.float32),
+            jnp.asarray(np.stack(D2s), jnp.float32),
+            jnp.asarray(np.stack(As)), jnp.asarray(u0s))
+
+    single = pool.make_pool_pipeline(inv, ct.Params(), lanes=4, window=4,
+                                     power_steps=2)(*args)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    multi = pool.make_pool_pipeline(inv, ct.Params(), lanes=4, window=4,
+                                    power_steps=2, mesh=mesh)(*args)
+    assert (np.asarray(multi.mask) == np.asarray(single.mask)).all()
+    np.testing.assert_allclose(np.asarray(multi.score),
+                               np.asarray(single.score), rtol=1e-5)
