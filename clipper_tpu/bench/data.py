@@ -43,8 +43,47 @@ _PLY_TYPES = {
 def read_ply(path) -> np.ndarray:
     """Read vertex x/y/z from an ascii or binary-little-endian PLY file.
 
-    Returns (n, 3) float64 points.
+    Returns (n, 3) float64 points. Tries the native C++ reader
+    (clipper_tpu/native/plyio.cpp — role parity with the reference's
+    tinyply path, reference: benchmarks/bm_utils.cpp:24-107) and falls
+    back to the pure-Python parser on any unsupported layout.
     """
+    pts = _read_ply_native(path)
+    if pts is not None:
+        return pts
+    return _read_ply_py(path)
+
+
+def _read_ply_native(path) -> Optional[np.ndarray]:
+    import ctypes
+
+    from clipper_tpu.native import build as _nb
+
+    lib = _nb.load()
+    if lib is None:
+        return None
+    try:
+        lib.clipper_ply_vertex_count.restype = ctypes.c_longlong
+        lib.clipper_ply_vertex_count.argtypes = [ctypes.c_char_p]
+        lib.clipper_ply_read_xyz.restype = ctypes.c_int
+        lib.clipper_ply_read_xyz.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+        ]
+    except AttributeError:   # stale library without the PLY entry points
+        return None
+    p = str(Path(path)).encode()
+    n = lib.clipper_ply_vertex_count(p)
+    if n < 0:
+        return None
+    out = np.empty((int(n), 3), np.float64)
+    if lib.clipper_ply_read_xyz(p, out, n) != 0:
+        return None
+    return out
+
+
+def _read_ply_py(path) -> np.ndarray:
     path = Path(path)
     with open(path, "rb") as f:
         if f.readline().strip() != b"ply":

@@ -16,7 +16,7 @@ from pathlib import Path
 from typing import Optional
 
 _DIR = Path(__file__).resolve().parent
-_SOURCES = ["dsd.cpp", "maxclique.cpp"]
+_SOURCES = ["dsd.cpp", "maxclique.cpp", "plyio.cpp"]
 _LIB = _DIR / "_clipper_native.so"
 _LOCK = threading.Lock()
 _CACHED: Optional[ctypes.CDLL] = None

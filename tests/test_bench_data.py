@@ -63,3 +63,41 @@ def test_synthetic_correspondences():
     p, r = data.get_precision_recall(A, Agt)
     assert abs(p - 0.1) < 1e-12
     assert abs(r - 1.0) < 1e-12
+
+
+def test_native_ply_matches_python():
+    """C++ PLY reader returns bit-identical points to the Python parser."""
+    from clipper_tpu.bench import data
+
+    py = data._read_ply_py(data.BUN10K)
+    nat = data._read_ply_native(data.BUN10K)
+    if nat is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    assert nat.shape == py.shape
+    assert (nat == py).all()
+
+
+def test_native_ply_ascii(tmp_path):
+    """ascii PLY path of the native reader (with extra properties)."""
+    from clipper_tpu.bench import data
+
+    p = tmp_path / "tri.ply"
+    p.write_text("""ply
+format ascii 1.0
+element vertex 3
+property float x
+property float y
+property float z
+property uchar red
+end_header
+0 1 2 255
+3.5 -4 5 0
+-1 0 0.25 7
+""")
+    pts = data.read_ply(p)
+    expected = np.array([[0, 1, 2], [3.5, -4, 5], [-1, 0, 0.25]])
+    np.testing.assert_allclose(pts, expected)
+    nat = data._read_ply_native(p)
+    if nat is not None:
+        np.testing.assert_allclose(nat, expected)

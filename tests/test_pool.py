@@ -289,3 +289,28 @@ def test_pool_mesh_data_parallel_matches_single_device():
     assert (np.asarray(multi.mask) == np.asarray(single.mask)).all()
     np.testing.assert_allclose(np.asarray(multi.score),
                                np.asarray(single.score), rtol=1e-5)
+
+
+def test_pool_pointnormal_invariant():
+    """The pool engine is invariant-generic: point-normal scenes solve too."""
+    from clipper_tpu.bench import harness
+
+    rng = np.random.default_rng(61)
+    D1s, D2s, As, Agts = [], [], [], []
+    W = 4
+    for s in range(W):
+        D1, D2, A, Agt = harness.make_pointnormal_problem(
+            rng, n=80, m=96, rho=0.7)
+        D1s.append(D1); D2s.append(D2); As.append(A); Agts.append(Agt)
+    inv = ct.PointNormalDistance()
+    u0s = rng.uniform(size=(W, 96)).astype(np.float32)
+    pp = pool.make_pool_pipeline(inv, ct.Params(), lanes=2, window=4,
+                                 shared_d1=False)
+    solns = pp(jnp.asarray(np.stack(D1s), jnp.float32),
+               jnp.asarray(np.stack(D2s), jnp.float32),
+               jnp.asarray(np.stack(As)), jnp.asarray(u0s))
+    from clipper_tpu.bench import data
+    for w in range(W):
+        mask = np.asarray(solns.mask[w])
+        p, r = data.get_precision_recall(np.asarray(As[w])[mask], Agts[w])
+        assert p >= 0.9 and r >= 0.6, (w, p, r)
