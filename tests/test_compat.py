@@ -71,3 +71,18 @@ def test_point_normal_invariant_namespace():
     ip.sigp = 0.4
     inv = clipperpy.invariants.PointNormalDistance(ip)
     assert inv.params.sigp == 0.4
+
+
+def test_compat_utils_surface():
+    """Every reference utils binding exists and behaves
+    (reference: bindings/python/py_clipper.cpp:87-99, src/utils.cpp)."""
+    import clipper_tpu.compat.utils as cu
+    import numpy as np
+
+    v = cu.randvec(16, seed=0)
+    assert v.shape == (16,) and (0 <= v).all() and (v < 1).all()
+    x = np.array([3.0, 1.0, 4.0, 1.5, 9.0])
+    assert set(cu.find_indices_of_k_largest(x, 2)) == {4, 2}
+    assert cu.find_indices_where_above_threshold(x, 2.0) == [0, 2, 4]
+    sel = cu.select_from_indicator(x, np.array([1, 0, 1, 0, 0], bool))
+    assert list(sel) == [3.0, 4.0]
