@@ -2,10 +2,15 @@
 
 Replicates the reference grid — m in {64, 256, 512, 1024, 2048} x outlier
 ratio in {0, .2, .4, .8, .9}, 20 trials — but solves each grid cell's trials
-as ONE batched device program (the TPU-native way to run Monte-Carlo
-protocols). Reports per-problem end-to-end latency and mean precision/recall.
+as ONE pool-compacted device program (the TPU-native way to run Monte-Carlo
+protocols; the pool engine keeps a slow straggler from stalling the whole
+cell, which the lock-step batched engine suffered at m=2048/rho=0.4).
+Reports per-problem end-to-end latency and mean precision/recall.
 
-Usage: python -m clipper_tpu.bench.grid_tpu [trials]
+The polish uses the full affinity rebuild (support=None): grid cells at low
+outlier ratios have cliques up to size m, beyond any fixed top-k support.
+
+Usage: python -m clipper_tpu.bench.grid_tpu [trials] [--engine=pool|batched]
 Writes a markdown table to stdout.
 """
 

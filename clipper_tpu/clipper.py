@@ -36,10 +36,20 @@ def _default_dtype():
 
 class Clipper:
     def __init__(self, invariant: Optional[PairwiseInvariant],
-                 params: Params = Params(), *, dtype=None):
+                 params: Params = Params(), *, dtype=None,
+                 seed: Optional[int] = 0):
+        """``seed`` controls the default randomness of :meth:`solve` when no
+        ``u0``/``key`` is passed: call k of this instance uses
+        ``PRNGKey(fold_in(seed, k))``, so repeated runs of the same program
+        are REPRODUCIBLE by default (unlike the reference, whose default u0
+        is time-seeded — reference: src/utils.cpp:22-29). Pass ``seed=None``
+        to opt back into time-seeded non-reproducible draws.
+        """
         self.invariant = invariant
         self.params = params
         self.dtype = dtype or _default_dtype()
+        self.seed = seed
+        self._nsolves = 0
         self._A: Optional[jnp.ndarray] = None   # (m, 2) putative associations
         self._M: Optional[jnp.ndarray] = None   # (m, m) zero-diag symmetric
         self._C: Optional[jnp.ndarray] = None   # (m, m) zero-diag symmetric 0/1
@@ -72,8 +82,9 @@ class Clipper:
         """Solve MSRC by graduated projected gradient ascent.
 
         reference: src/clipper.cpp:69-78. If no u0 is given, a U[0,1) random
-        vector is drawn (explicit ``key``, else a time-seeded key — pass a key
-        for reproducibility).
+        vector is drawn from ``key`` if passed, else from the instance's
+        deterministic per-call key stream (see ``seed`` in ``__init__``;
+        ``seed=None`` restores the reference's time-seeded behavior).
 
         multistart > 1 runs that many random inits in parallel on device and
         keeps the densest cluster found (highest F) — restarts are nearly
@@ -83,7 +94,12 @@ class Clipper:
         self._require_matrices()
         m = self._M.shape[0]
         if key is None:
-            key = jax.random.PRNGKey(time.time_ns() & 0x7FFFFFFF)
+            if self.seed is None:
+                key = jax.random.PRNGKey(time.time_ns() & 0x7FFFFFFF)
+            else:
+                key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                         self._nsolves)
+        self._nsolves += 1
         t0 = time.perf_counter()
         if multistart > 1 and u0 is None:
             from clipper_tpu.solvers import msrc_flat

@@ -165,9 +165,9 @@ extern "C" int clipper_ply_read_xyz(const char* path, double* out,
 
   if (h.ascii) {
     // stream doubles; properties are whitespace-separated per vertex row
+    std::vector<double> vals(h.vprops.size());
+    const size_t np = h.vprops.size();
     for (long long v = 0; v < n; ++v) {
-      double vals[64];
-      size_t np = h.vprops.size() < 64 ? h.vprops.size() : 64;
       for (size_t i = 0; i < np; ++i)
         if (fscanf(f, "%lf", &vals[i]) != 1) {
           fclose(f);

@@ -68,6 +68,10 @@ def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
     """
     P, two_m, m = MCs.shape
     W = inits.u.shape[0]
+    if problem_of is None and P != W:
+        raise ValueError(
+            f"solve_pool: {W} inits over {P} stored matrices requires an "
+            f"explicit problem_of mapping (P == W only when omitted)")
     B = min(lanes, W)
     dtype = inits.u.dtype
 
@@ -147,6 +151,41 @@ def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
     return out.u_out, out.F_out, out.i_out
 
 
+def _pool_rounding(params: Params) -> Rounding:
+    """Pool pipelines run fully in-graph; exact DSD rounding needs a host
+    hop (reference: src/clipper.cpp:294-300), so it is downgraded to NONZERO
+    here with a warning. The Clipper facade reruns exact DSD host-side."""
+    if params.rounding == Rounding.DSD:
+        import warnings
+        warnings.warn(
+            "pool pipelines cannot run exact (host-side) DSD rounding; "
+            "downgrading to Rounding.NONZERO — use the Clipper facade for "
+            "exact DSD", stacklevel=3)
+        return Rounding.NONZERO
+    return params.rounding
+
+
+def support_objective(invariant: PairwiseInvariant, P1, P2, A, u,
+                      affinityeps: float = 1e-4, k: int = 256):
+    """support_polish core over pre-gathered endpoints P1=D1[A[:,0]] etc.
+
+    Shared with the sharded engine, whose pipeline holds the (replicated)
+    gathered endpoint arrays rather than the raw datasets.
+    """
+    m = u.shape[0]
+    k = min(k, m)
+    vals, idx = jax.lax.top_k(u, k)
+    Ak = A[idx]
+    P1k = P1[idx]
+    P2k = P2[idx]
+    scores = invariant.score_block(P1k, P1k, P2k, P2k)
+    from clipper_tpu.ops.affinity import distinctness_mask
+    keep = distinctness_mask(Ak) & (scores > affinityeps)
+    Mu_blk = jnp.triu(jnp.where(keep, scores, 0.0), k=1)
+    Mk = Mu_blk + Mu_blk.T
+    return vals @ (Mk @ vals) + jnp.dot(u, u)
+
+
 def support_polish(invariant: PairwiseInvariant, D1, D2, A, u,
                    affinityeps: float = 1e-4, k: int = 256):
     """Full-precision objective u'(M + I)u restricted to u's top-k support.
@@ -159,18 +198,8 @@ def support_polish(invariant: PairwiseInvariant, D1, D2, A, u,
     the top k contribute O(|u_tail|) and are negligible against the 0.5
     omega-rounding margin (validated against the full rebuild in tests).
     """
-    m = u.shape[0]
-    k = min(k, m)
-    vals, idx = jax.lax.top_k(u, k)
-    Ak = A[idx]
-    P1 = D1[Ak[:, 0]]
-    P2 = D2[Ak[:, 1]]
-    scores = invariant.score_block(P1, P1, P2, P2)
-    from clipper_tpu.ops.affinity import distinctness_mask
-    keep = distinctness_mask(Ak) & (scores > affinityeps)
-    Mu_blk = jnp.triu(jnp.where(keep, scores, 0.0), k=1)
-    Mk = Mu_blk + Mu_blk.T
-    return vals @ (Mk @ vals) + jnp.dot(u, u)
+    return support_objective(invariant, D1[A[:, 0]], D2[A[:, 1]], A, u,
+                             affinityeps=affinityeps, k=k)
 
 
 def make_pool_pipeline(invariant: PairwiseInvariant,
@@ -207,10 +236,12 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     The build/polish stages auto-partition under jit from the input
     shardings. The pool engine is a per-chip scheduler; this is the
     multi-chip throughput configuration.
+
+    Rounding.DSD is downgraded to NONZERO (with a warning): the pool
+    pipelines are terminal in-graph APIs with no host hop; use the Clipper
+    facade (which reruns exact DSD host-side) if DSD rounding is required.
     """
-    rounding = params.rounding
-    if rounding == Rounding.DSD:
-        rounding = Rounding.NONZERO
+    rounding = _pool_rounding(params)
 
     def build_one(D1, D2, A, u0):
         M, C = score_pairwise_consistency(invariant, D1, D2, A,
@@ -302,6 +333,7 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
                                   storage_dtype=jnp.bfloat16,
                                   lanes: int = 128,
                                   window: int = 8,
+                                  support: Optional[int] = 256,
                                   power_steps: int = 0,
                                   chunk: Optional[int] = None):
     """Pool pipeline with K restarts per problem; keeps the densest cluster.
@@ -313,14 +345,17 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
     [M; C] via `problem_of` (zero memory duplication), so K-way multistart
     costs ~K/throughput, not K compilations or K copies of the pool.
 
+    support: top-k support size for the restart-selection polish (see
+    support_polish) — K O(k^2) rebuilds per problem instead of the full
+    (m, m) affinity rebuild; None rebuilds the full affinity.
+
     Call: pipeline(D1, D2s, As, u0s) with u0s shaped (W, K, m); returns a
     Solution over W problems, each the restart with the highest
-    full-precision objective u'(M + I)u.
+    full-precision objective u'(M + I)u. Rounding.DSD downgrades to NONZERO
+    with a warning (see make_pool_pipeline).
     """
     K = int(restarts)
-    rounding = params.rounding
-    if rounding == Rounding.DSD:
-        rounding = Rounding.NONZERO
+    rounding = _pool_rounding(params)
 
     def build_one(D1, D2, A, u0K):
         M, C = score_pairwise_consistency(invariant, D1, D2, A,
@@ -347,10 +382,15 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
 
     def polish_one(D1, D2, A, Us, u0K):
         """Pick the restart with the best full-precision objective."""
-        M, _ = score_pairwise_consistency(invariant, D1, D2, A,
-                                          affinityeps=affinityeps)
-        MU = Us @ M                                    # (K, m)
-        Fp = jnp.sum(MU * Us, axis=1) + jnp.sum(Us * Us, axis=1)
+        if support is not None:
+            Fp = jax.vmap(lambda u: support_polish(
+                invariant, D1, D2, A, u, affinityeps=affinityeps,
+                k=support))(Us)                        # (K,)
+        else:
+            M, _ = score_pairwise_consistency(invariant, D1, D2, A,
+                                              affinityeps=affinityeps)
+            MU = Us @ M                                # (K, m)
+            Fp = jnp.sum(MU * Us, axis=1) + jnp.sum(Us * Us, axis=1)
         best = jnp.argmax(Fp)
         u = Us[best]
         F = Fp[best]
@@ -359,6 +399,11 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
                         u=u, score=F)
 
     polish = jax.jit(jax.vmap(polish_one, in_axes=in_axes + (0,)))
+
+    # hoisted: a jit wrapper created per pipeline() call would retrace the
+    # whole pool solve every invocation (minutes through the remote tunnel)
+    solve = jax.jit(functools.partial(solve_pool, params=params,
+                                      lanes=lanes, window=window))
 
     def pipeline(D1, D2s, As, u0s):
         W = D2s.shape[0]
@@ -379,8 +424,6 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
         inits = jax.tree.map(
             lambda a: a.reshape((W * K,) + a.shape[2:]), inits)
         problem_of = jnp.repeat(jnp.arange(W, dtype=jnp.int32), K)
-        solve = jax.jit(functools.partial(solve_pool, params=params,
-                                          lanes=lanes, window=window))
         u, F, ifinal = solve(MCs, inits, problem_of=problem_of)
         Us = u.reshape(W, K, -1)
         return polish(D1, D2s, As, Us, u0s)

@@ -144,6 +144,72 @@ def _affinity_block(invariant, P1, P2, A, m_true: int, mr: int, mc: int,
     return M_blk, C_blk
 
 
+def _divisor_at_most(n: int, k: int) -> int:
+    k = min(n, k)
+    while n % k:
+        k -= 1
+    return k
+
+
+def _affinity_block_stored(invariant, P1, P2, A, m_true: int, mr: int,
+                           mc: int, affinityeps: float, storage_dtype,
+                           build_chunk: int = 512, axis_names=("r", "c")):
+    """One device's stacked (2 mr, mc) [M; C] block, built DIRECTLY in the
+    reduced storage dtype, chunk of rows at a time (called INSIDE shard_map).
+
+    The plain build (:func:`_affinity_block`) materializes the full-precision
+    (mr, mc) M and C blocks before quantization — at the single-chip capacity
+    point (m = 65,536 int8: the stored [M; C] block alone is 8.6 GB) the f32
+    intermediates (34 GB) would blow HBM long before the storage does. Here
+    only a (chunk, mc) score tile is ever live in full precision; XLA updates
+    the carried int8/bf16 buffer in place across the fori_loop.
+    """
+    r_ax, c_ax = axis_names
+    ri = jax.lax.axis_index(r_ax)
+    ci = jax.lax.axis_index(c_ax)
+    r0 = ri * mr
+    c0 = ci * mc
+
+    P1c = jax.lax.dynamic_slice_in_dim(P1, c0, mc)
+    P2c = jax.lax.dynamic_slice_in_dim(P2, c0, mc)
+    Ac = jax.lax.dynamic_slice_in_dim(A, c0, mc)
+
+    chunk = _divisor_at_most(mr, build_chunk)
+    nchunks = mr // chunk
+    is_int8 = jnp.dtype(storage_dtype) == jnp.int8
+    buf = jnp.zeros((2 * mr, mc), storage_dtype)
+
+    def body(kk, buf):
+        cr0 = r0 + kk * chunk
+        P1r = jax.lax.dynamic_slice_in_dim(P1, cr0, chunk)
+        P2r = jax.lax.dynamic_slice_in_dim(P2, cr0, chunk)
+        Ar = jax.lax.dynamic_slice_in_dim(A, cr0, chunk)
+
+        scores = invariant.score_block(P1r, P1c, P2r, P2c)
+        # distinctness + diagonal + padding + threshold masks
+        # (reference: src/clipper.cpp:35-55)
+        distinct = ~((Ar[:, 0, None] == Ac[None, :, 0])
+                     | (Ar[:, 1, None] == Ac[None, :, 1]))
+        gr = cr0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, mc), 0)
+        gc = c0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, mc), 1)
+        keep = (distinct & (gr != gc) & (gr < m_true) & (gc < m_true)
+                & (scores > affinityeps))
+
+        M_t = jnp.where(keep, scores, 0.0).astype(scores.dtype)
+        C_t = keep.astype(scores.dtype)
+        if is_int8:
+            M_s = msrc_flat.quantize_stacked(M_t)
+            C_s = msrc_flat.quantize_stacked(C_t)
+        else:
+            M_s = M_t.astype(storage_dtype)
+            C_s = C_t.astype(storage_dtype)
+        buf = jax.lax.dynamic_update_slice(buf, M_s, (kk * chunk, 0))
+        buf = jax.lax.dynamic_update_slice(buf, C_s, (mr + kk * chunk, 0))
+        return buf
+
+    return jax.lax.fori_loop(0, nchunks, body, buf)
+
+
 def sharded_dual_matvec(MC_store, mr: int, mc: int, out_dtype,
                         axis_names=("r", "c")):
     """u -> (M u, C u) over block-sharded stacked [M; C] storage.
@@ -192,7 +258,9 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
                            solver: str = "flat",
                            storage_dtype=None,
                            probes: int = 1,
-                           power_steps: int = 0):
+                           power_steps: int = 0,
+                           support: int = 512,
+                           build_chunk: int = 512):
     """Compile a full sharded pipeline: endpoints -> affinity blocks -> solve.
 
     Returns a jitted function (P1, P2, A, u0, m_true) -> (u, F, ifinal, mask)
@@ -205,8 +273,12 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
     storage_dtype (flat only): None keeps the working dtype; jnp.bfloat16 /
         jnp.int8 store the [M; C] blocks reduced — 2x / 4x less per-chip
         HBM for the dominant buffers AND matvec traffic, which is what sets
-        the per-chip memory ceiling at m >= 100k. The final objective is
-        re-polished against a full-precision rebuilt M block.
+        the per-chip memory ceiling at m >= 100k. The blocks are built
+        chunk-of-rows at a time DIRECTLY in the storage dtype (see
+        _affinity_block_stored), so peak per-device memory is the stored
+        block + one (build_chunk, mc) full-precision tile; the final
+        objective is re-polished in full precision on u's top-``support``
+        entries (support_objective — exact for converged supports).
     probes (flat only): K-wide line search (see
         msrc_flat.flat_solve_single_multiprobe) — pays on single large
         problems where the probe sequence is the critical path.
@@ -220,19 +292,22 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
     def pipeline_body(P1, P2, A, u0, m_true):
         m_pad = P1.shape[0]
         mr, mc = m_pad // R, m_pad // C
-        M_blk, C_blk = _affinity_block(invariant, P1, P2, A, m_true, mr, mc,
-                                       affinityeps, (r_ax, c_ax))
         if solver == "nested":
+            M_blk, C_blk = _affinity_block(invariant, P1, P2, A, m_true,
+                                           mr, mc, affinityeps, (r_ax, c_ax))
             ops = sharded_operators(M_blk, C_blk, mc, (r_ax, c_ax))
             return msrc.run_pga(ops, u0, params, dtype=P1.dtype)
 
-        MC_blk = jnp.concatenate([M_blk, C_blk], axis=0)
-        if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
-            MC_store = msrc_flat.quantize_stacked(MC_blk)
-        elif storage_dtype is not None:
-            MC_store = MC_blk.astype(storage_dtype)
+        if storage_dtype is None:
+            M_blk, C_blk = _affinity_block(invariant, P1, P2, A, m_true,
+                                           mr, mc, affinityeps, (r_ax, c_ax))
+            MC_store = jnp.concatenate([M_blk, C_blk], axis=0)
         else:
-            MC_store = MC_blk
+            # reduced storage built directly, never materializing the
+            # full-precision block (single-chip capacity path, m >= 65k)
+            MC_store = _affinity_block_stored(
+                invariant, P1, P2, A, m_true, mr, mc, affinityeps,
+                storage_dtype, build_chunk, (r_ax, c_ax))
         dual = sharded_dual_matvec(MC_store, mr, mc, P1.dtype,
                                    (r_ax, c_ax))
         if power_steps:
@@ -244,11 +319,13 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
             u, F, ifinal = msrc_flat.flat_solve_single(dual, u0, params)
         if storage_dtype is not None:
             # full-precision objective polish: omega = round(F) needs F
-            # accurate to well under 0.5 (reference: src/clipper.cpp:305)
-            full = sharded_dual_matvec(MC_blk, mr, mc, P1.dtype,
-                                       (r_ax, c_ax))
-            Mu, _ = full(u)
-            F = jnp.dot(u, Mu + u)
+            # accurate to well under 0.5 (reference: src/clipper.cpp:305).
+            # Support-restricted (top-k) rebuild on the replicated gathered
+            # endpoints — O(k^2), identical on every device, no collectives.
+            from clipper_tpu.parallel.pool import support_objective
+            F = support_objective(invariant, P1, P2, A, u,
+                                  affinityeps=affinityeps,
+                                  k=support).astype(P1.dtype)
         return u, F, ifinal
 
     shmapped = jax.shard_map(
@@ -276,7 +353,8 @@ def solve_sharded(invariant: PairwiseInvariant, D1, D2, A, u0,
                   params: Params = Params(), mesh: Optional[Mesh] = None,
                   *, affinityeps: float = 1e-4, solver: str = "flat",
                   storage_dtype=None, probes: int = 1,
-                  power_steps: int = 0) -> Solution:
+                  power_steps: int = 0, support: int = 512,
+                  build_chunk: int = 512) -> Solution:
     """End-to-end sharded solve of one large problem.
 
     D1/D2 are (n, d) row-major datasets; A is (m, 2); u0 is (m,).
@@ -301,6 +379,8 @@ def solve_sharded(invariant: PairwiseInvariant, D1, D2, A, u0,
                                       solver=solver,
                                       storage_dtype=storage_dtype,
                                       probes=probes,
-                                      power_steps=power_steps)
+                                      power_steps=power_steps,
+                                      support=support,
+                                      build_chunk=build_chunk)
     u, F, ifinal, mask = pipeline(P1, P2, A_pad, u0p, m)
     return Solution(ifinal=ifinal, mask=mask[:m], u0=u0, u=u[:m], score=F)

@@ -85,3 +85,26 @@ def test_randvec_range(key):
     v = utils.randvec(key, 1000)
     assert v.shape == (1000,)
     assert (np.asarray(v) >= 0).all() and (np.asarray(v) < 1).all()
+
+
+def test_solve_default_is_reproducible():
+    """Default solve() draws from a deterministic per-instance key stream
+    (seed=0): re-running the same program reproduces u0/u bit-exactly.
+    seed=None opts back into the reference's time-seeded behavior."""
+    from test_affinity import make_scene
+    model, data = make_scene()
+
+    def run(seed=0):
+        c = ct.Clipper(ct.EuclideanDistance(ct.EuclideanDistanceParams(
+            sigma=0.01, epsilon=0.06)), ct.Params(), seed=seed)
+        c.score_pairwise_consistency(model, data)
+        s1 = c.solve()
+        s2 = c.solve()  # second call advances the key stream
+        return s1, s2
+
+    a1, a2 = run()
+    b1, b2 = run()
+    np.testing.assert_array_equal(np.asarray(a1.u0), np.asarray(b1.u0))
+    np.testing.assert_array_equal(np.asarray(a1.u), np.asarray(b1.u))
+    np.testing.assert_array_equal(np.asarray(a2.u0), np.asarray(b2.u0))
+    assert not np.array_equal(np.asarray(a1.u0), np.asarray(a2.u0))

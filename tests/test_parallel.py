@@ -189,3 +189,61 @@ def test_sharded_flat_variants_match_dense(kw):
         iou = len(a & b) / len(a | b)
         assert iou >= 0.85, (kw, sorted(a), sorted(b))
         assert abs(float(soln.score) - F_ref) / F_ref < 0.05, kw
+
+
+@pytest.mark.parametrize("storage", ["int8", "bf16"])
+def test_sharded_stored_build_bitmatches_plain_build(storage):
+    """The chunked direct-to-storage block build (capacity path for m >= 65k)
+    is bit-identical to quantizing the full-precision block build."""
+    import jax.numpy as jnp
+    from clipper_tpu.solvers import msrc_flat
+
+    sdtype = {"int8": jnp.int8, "bf16": jnp.bfloat16}[storage]
+    rng = np.random.default_rng(9)
+    D1, D2, A = make_problem(rng)
+    m = A.shape[0]
+    mesh = sharded.make_mesh((2, 4))
+    m_pad = sharded._padded_size(m, 2, 4)
+    P1 = jnp.asarray(D1, jnp.float32)[A[:, 0]]
+    P2 = jnp.asarray(D2, jnp.float32)[A[:, 1]]
+    P1p, P2p, _ = sharded.pad_problem(P1, P2, jnp.zeros(m), m_pad)
+    A_pad = jnp.pad(jnp.asarray(A), ((0, m_pad - m), (0, 0)),
+                    constant_values=-1)
+    mr, mc = m_pad // 2, m_pad // 4
+
+    def plain(P1, P2, A, m_true):
+        M_blk, C_blk = sharded._affinity_block(INV, P1, P2, A, m_true,
+                                               mr, mc, 1e-4)
+        MC = jnp.concatenate([M_blk, C_blk], axis=0)
+        return (msrc_flat.quantize_stacked(MC) if sdtype == jnp.int8
+                else MC.astype(sdtype))
+
+    def chunked(P1, P2, A, m_true):
+        return sharded._affinity_block_stored(INV, P1, P2, A, m_true, mr, mc,
+                                              1e-4, sdtype, build_chunk=16)
+
+    run = lambda f: jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P("r", "c"),
+        check_vma=False))(P1p, P2p, A_pad, jnp.asarray(m, jnp.int32))
+    a = np.asarray(run(plain), np.float32)
+    b = np.asarray(run(chunked), np.float32)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_int8_chunked_end_to_end():
+    """Full sharded solve through the chunked int8 storage build + top-k
+    support polish recovers the planted clique."""
+    rng = np.random.default_rng(13)
+    D1, D2, A = make_problem(rng, n_inliers=30)
+    u0 = rng.uniform(size=96).astype(np.float32)
+    mesh = sharded.make_mesh((2, 4))
+    soln = sharded.solve_sharded(
+        INV, jnp.asarray(D1, jnp.float32), jnp.asarray(D2, jnp.float32),
+        jnp.asarray(A), jnp.asarray(u0), ct.Params(), mesh,
+        storage_dtype=jnp.int8, probes=4, power_steps=2, build_chunk=16,
+        support=64)
+    sel = set(np.flatnonzero(np.asarray(soln.mask)))
+    assert len(sel & set(range(30))) >= 26, sel
+    assert len(sel - set(range(30))) <= 3, sel
+    # the polished objective must be consistent with the clique size
+    assert 20 <= float(soln.score) <= 35

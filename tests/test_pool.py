@@ -314,3 +314,62 @@ def test_pool_pointnormal_invariant():
         mask = np.asarray(solns.mask[w])
         p, r = data.get_precision_recall(np.asarray(As[w])[mask], Agts[w])
         assert p >= 0.9 and r >= 0.6, (w, p, r)
+
+
+def test_solve_pool_contract_requires_problem_of():
+    """W inits over P != W matrices without a mapping must error, not
+    silently clamp the matrix gather (advisor finding r1)."""
+    rng = np.random.default_rng(5)
+    m = 32
+    MCs = jnp.asarray(rng.uniform(size=(2, 2 * m, m)), jnp.float32)
+    mv = msrc_flat.make_stacked_matvec(MCs[0], jnp.float32)
+    inits = jax.vmap(
+        lambda u0: msrc_flat.flat_init(mv, u0, ct.Params()))(
+        jnp.asarray(rng.uniform(size=(3, m)), jnp.float32))
+    with pytest.raises(ValueError, match="problem_of"):
+        pool.solve_pool(MCs, inits, ct.Params(), lanes=2, window=2)
+
+
+def test_pool_multistart_support_polish_matches_full():
+    """Multistart restart selection via top-k support polish picks the same
+    winners/masks as the full (m, m) affinity rebuild."""
+    rng = np.random.default_rng(77)
+    W, K, n, ni, m = 4, 3, 60, 20, 128
+    D1 = rng.uniform(size=(n, 3))
+    D2s, As = [], []
+    for _ in range(W):
+        th = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        D2s.append(D1 @ R.T + rng.normal(0, 0.003, size=(n, 3)))
+        A = np.zeros((m, 2), dtype=np.int32)
+        A[:ni, 0] = A[:ni, 1] = np.arange(ni)
+        A[ni:, 0] = rng.integers(0, n, m - ni)
+        A[ni:, 1] = rng.integers(0, n, m - ni)
+        As.append(A)
+    u0s = jnp.asarray(rng.uniform(size=(W, K, m)), jnp.float32)
+    inv = ct.EuclideanDistance(ct.EuclideanDistanceParams(sigma=0.015,
+                                                          epsilon=0.05))
+    D1j = jnp.asarray(D1, jnp.float32)
+    D2j = jnp.asarray(np.stack(D2s), jnp.float32)
+    Aj = jnp.asarray(np.stack(As))
+
+    full = pool.make_pool_multistart_pipeline(
+        inv, ct.Params(), restarts=K, lanes=4, window=4, support=None)
+    sup = pool.make_pool_multistart_pipeline(
+        inv, ct.Params(), restarts=K, lanes=4, window=4, support=64)
+    s_full = full(D1j, D2j, Aj, u0s)
+    s_sup = sup(D1j, D2j, Aj, u0s)
+    np.testing.assert_array_equal(np.asarray(s_full.mask),
+                                  np.asarray(s_sup.mask))
+    np.testing.assert_allclose(np.asarray(s_full.score),
+                               np.asarray(s_sup.score), atol=0.05)
+
+
+def test_pool_dsd_rounding_downgrade_warns():
+    inv = ct.EuclideanDistance(ct.EuclideanDistanceParams())
+    import warnings
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        pool.make_pool_pipeline(inv, ct.Params(rounding=ct.Rounding.DSD))
+    assert any("DSD" in str(w.message) for w in rec)
