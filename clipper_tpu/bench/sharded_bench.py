@@ -56,8 +56,16 @@ def _parse_args(argv):
 
 
 def main(argv=None):
+    import pathlib
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache (first compile through the device tunnel
+    # takes minutes; see CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir", str(
+        pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from clipper_tpu import utils
     from clipper_tpu.bench import data as bdata

@@ -33,7 +33,7 @@ def _needs_build() -> bool:
 def build() -> Path:
     srcs = [str(_DIR / s) for s in _SOURCES if (_DIR / s).exists()]
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-           *srcs, "-o", str(_LIB)]
+           "-pthread", *srcs, "-o", str(_LIB)]
     subprocess.run(cmd, check=True, capture_output=True)
     return _LIB
 

@@ -96,8 +96,15 @@ def score_pairwise_consistency(
     A: jnp.ndarray,
     *,
     affinityeps: float = 1e-4,
+    m_true=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Jit-friendly core: dense symmetric (M, C) for fixed association set."""
+    """Jit-friendly core: dense symmetric (M, C) for fixed association set.
+
+    m_true: optional scalar — rows/cols >= m_true are zeroed in both M and C
+    (exact padding for bucketed mixed-size batching: padded entries get no
+    edges and no constraints, so they stay at zero through the solver — the
+    same argument as parallel.sharded.pad_problem).
+    """
     P1 = D1[A[:, 0]]   # (m, d) endpoints in dataset 1
     P2 = D2[A[:, 1]]   # (m, d) endpoints in dataset 2
 
@@ -105,6 +112,9 @@ def score_pairwise_consistency(
 
     keep = distinctness_mask(A)
     keep = keep & (scores > affinityeps)
+    if m_true is not None:
+        valid = jnp.arange(A.shape[0]) < m_true
+        keep = keep & valid[:, None] & valid[None, :]
 
     # The reference computes the strict upper triangle and mirrors it
     # (reference: src/clipper.cpp:31-32, getAffinityMatrix selfadjointView at

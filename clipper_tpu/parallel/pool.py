@@ -166,11 +166,17 @@ def _pool_rounding(params: Params) -> Rounding:
 
 
 def support_objective(invariant: PairwiseInvariant, P1, P2, A, u,
-                      affinityeps: float = 1e-4, k: int = 256):
+                      affinityeps: float = 1e-4, k: int = 256,
+                      include_identity: bool = True):
     """support_polish core over pre-gathered endpoints P1=D1[A[:,0]] etc.
 
     Shared with the sharded engine, whose pipeline holds the (replicated)
     gathered endpoint arrays rather than the raw datasets.
+
+    EXACT only when u has <= k nonzeros (M is nonnegative, so a truncated
+    support strictly underestimates u'Mu). Callers must guard with
+    ``nnz(u) <= k`` — see :func:`_polish_k` / the sharded pipeline's
+    exact-chunked fallback.
     """
     m = u.shape[0]
     k = min(k, m)
@@ -183,7 +189,10 @@ def support_objective(invariant: PairwiseInvariant, P1, P2, A, u,
     keep = distinctness_mask(Ak) & (scores > affinityeps)
     Mu_blk = jnp.triu(jnp.where(keep, scores, 0.0), k=1)
     Mk = Mu_blk + Mu_blk.T
-    return vals @ (Mk @ vals) + jnp.dot(u, u)
+    F = vals @ (Mk @ vals)
+    if include_identity:
+        F = F + jnp.dot(u, u)
+    return F
 
 
 def support_polish(invariant: PairwiseInvariant, D1, D2, A, u,
@@ -200,6 +209,21 @@ def support_polish(invariant: PairwiseInvariant, D1, D2, A, u,
     """
     return support_objective(invariant, D1[A[:, 0]], D2[A[:, 1]], A, u,
                              affinityeps=affinityeps, k=k)
+
+
+def _support_bucket(support: int, nnz_max: int, m: int) -> int:
+    """Smallest power-of-2 multiple of ``support`` covering nnz_max (<= m).
+
+    The support polish is exact only when k >= nnz(u) (support_objective);
+    converged supports are usually far under the default, but a low-outlier
+    problem's clique can exceed it — omega = round(F) would then silently
+    truncate the DSD_HEU mask to ~k entries. Buckets keep the number of
+    distinct polish compilations logarithmic.
+    """
+    k = support
+    while k < nnz_max:
+        k *= 2
+    return min(k, m)
 
 
 def make_pool_pipeline(invariant: PairwiseInvariant,
@@ -243,9 +267,10 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     """
     rounding = _pool_rounding(params)
 
-    def build_one(D1, D2, A, u0):
+    def build_one(D1, D2, A, u0, m_true):
         M, C = score_pairwise_consistency(invariant, D1, D2, A,
-                                          affinityeps=affinityeps)
+                                          affinityeps=affinityeps,
+                                          m_true=m_true)
         MC = jnp.concatenate([M, C], axis=0)
         if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
             MC_store = msrc_flat.quantize_stacked(MC)
@@ -262,20 +287,33 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
         return MC_store, init
 
     in_axes = (None if shared_d1 else 0, 0, 0, 0)
-    build = jax.jit(jax.vmap(build_one, in_axes=in_axes))
+    build = jax.jit(jax.vmap(build_one, in_axes=in_axes + (0,)))
 
-    def polish_one(D1, D2, A, u, F, ifinal, u0):
-        if support is not None:
-            Fp = support_polish(invariant, D1, D2, A, u,
-                                affinityeps=affinityeps, k=support)
-        else:
-            M, _ = score_pairwise_consistency(invariant, D1, D2, A,
-                                              affinityeps=affinityeps)
-            Fp = jnp.dot(u, M @ u + u)
-        mask = msrc.round_solution(u, Fp, rounding)
-        return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=Fp)
+    def make_polish(k: Optional[int]):
+        def polish_one(D1, D2, A, u, F, ifinal, u0):
+            if k is not None:
+                Fp = support_polish(invariant, D1, D2, A, u,
+                                    affinityeps=affinityeps, k=k)
+            else:
+                M, _ = score_pairwise_consistency(invariant, D1, D2, A,
+                                                  affinityeps=affinityeps)
+                Fp = jnp.dot(u, M @ u + u)
+            mask = msrc.round_solution(u, Fp, rounding)
+            return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=Fp)
 
-    polish = jax.jit(jax.vmap(polish_one, in_axes=in_axes + (0, 0, 0)))
+        return jax.jit(jax.vmap(polish_one, in_axes=in_axes + (0, 0, 0)))
+
+    polish_cache: dict = {}
+
+    def get_polish(k: Optional[int]):
+        if k not in polish_cache:
+            polish_cache[k] = make_polish(k)
+        return polish_cache[k]
+
+    # tiny second pass: the polish k must cover the widest converged support
+    # or omega = round(F) silently truncates (see _support_bucket); one
+    # scalar fetch per workload picks the (cached) polish bucket
+    nnz_max = jax.jit(lambda u: jnp.max(jnp.sum(u > 0, axis=-1)))
 
     if mesh is None:
         solve = jax.jit(functools.partial(solve_pool, params=params,
@@ -320,7 +358,16 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
         inits = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *init_parts)
                  if len(init_parts) > 1 else init_parts[0])
         u, F, ifinal = solve(MCs, inits)
-        return polish(D1, D2s, As, u, F, ifinal, u0s)
+        # optimistic polish at the default k (queued on device), with the
+        # nnz fetch overlapping its execution; only the rare wide-clique
+        # overflow pays a re-polish (see _support_bucket)
+        solns = get_polish(support)(D1, D2s, As, u, F, ifinal, u0s)
+        if support is not None:
+            nnz = int(nnz_max(u))
+            if nnz > support:
+                k = _support_bucket(support, nnz, u.shape[-1])
+                solns = get_polish(k)(D1, D2s, As, u, F, ifinal, u0s)
+        return solns
 
     return pipeline
 
@@ -380,25 +427,35 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
     in_axes = (None if shared_d1 else 0, 0, 0, 0)
     build = jax.jit(jax.vmap(build_one, in_axes=in_axes))
 
-    def polish_one(D1, D2, A, Us, u0K):
-        """Pick the restart with the best full-precision objective."""
-        if support is not None:
-            Fp = jax.vmap(lambda u: support_polish(
-                invariant, D1, D2, A, u, affinityeps=affinityeps,
-                k=support))(Us)                        # (K,)
-        else:
-            M, _ = score_pairwise_consistency(invariant, D1, D2, A,
-                                              affinityeps=affinityeps)
-            MU = Us @ M                                # (K, m)
-            Fp = jnp.sum(MU * Us, axis=1) + jnp.sum(Us * Us, axis=1)
-        best = jnp.argmax(Fp)
-        u = Us[best]
-        F = Fp[best]
-        mask = msrc.round_solution(u, F, rounding)
-        return Solution(ifinal=jnp.int32(best), mask=mask, u0=u0K[best],
-                        u=u, score=F)
+    def make_polish(k: Optional[int]):
+        def polish_one(D1, D2, A, Us, u0K):
+            """Pick the restart with the best full-precision objective."""
+            if k is not None:
+                Fp = jax.vmap(lambda u: support_polish(
+                    invariant, D1, D2, A, u, affinityeps=affinityeps,
+                    k=k))(Us)                          # (K,)
+            else:
+                M, _ = score_pairwise_consistency(invariant, D1, D2, A,
+                                                  affinityeps=affinityeps)
+                MU = Us @ M                            # (K, m)
+                Fp = jnp.sum(MU * Us, axis=1) + jnp.sum(Us * Us, axis=1)
+            best = jnp.argmax(Fp)
+            u = Us[best]
+            F = Fp[best]
+            mask = msrc.round_solution(u, F, rounding)
+            return Solution(ifinal=jnp.int32(best), mask=mask, u0=u0K[best],
+                            u=u, score=F)
 
-    polish = jax.jit(jax.vmap(polish_one, in_axes=in_axes + (0,)))
+        return jax.jit(jax.vmap(polish_one, in_axes=in_axes + (0,)))
+
+    polish_cache: dict = {}
+
+    def get_polish(k: Optional[int]):
+        if k not in polish_cache:
+            polish_cache[k] = make_polish(k)
+        return polish_cache[k]
+
+    nnz_max = jax.jit(lambda u: jnp.max(jnp.sum(u > 0, axis=-1)))
 
     # hoisted: a jit wrapper created per pipeline() call would retrace the
     # whole pool solve every invocation (minutes through the remote tunnel)
@@ -426,7 +483,13 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
         problem_of = jnp.repeat(jnp.arange(W, dtype=jnp.int32), K)
         u, F, ifinal = solve(MCs, inits, problem_of=problem_of)
         Us = u.reshape(W, K, -1)
-        return polish(D1, D2s, As, Us, u0s)
+        solns = get_polish(support)(D1, D2s, As, Us, u0s)
+        if support is not None:
+            nnz = int(nnz_max(u))
+            if nnz > support:
+                k = _support_bucket(support, nnz, u.shape[-1])
+                solns = get_polish(k)(D1, D2s, As, Us, u0s)
+        return solns
 
     return pipeline
 

@@ -210,6 +210,50 @@ def _affinity_block_stored(invariant, P1, P2, A, m_true: int, mr: int,
     return jax.lax.fori_loop(0, nchunks, body, buf)
 
 
+def _block_quadform(invariant, P1, P2, A, u, m_true, mr: int, mc: int,
+                    affinityeps: float, build_chunk: int = 512,
+                    axis_names=("r", "c")):
+    """This device's exact f32 partial of u' M u: u_r' M_blk u_c, rebuilding
+    the block chunk-of-rows on the fly (called INSIDE shard_map; sum the
+    result with a psum over both mesh axes).
+
+    O(m^2 / (R C)) work per device — one extra build pass — and O(chunk, mc)
+    memory; no support-size cap, unlike support_objective.
+    """
+    r_ax, c_ax = axis_names
+    ri = jax.lax.axis_index(r_ax)
+    ci = jax.lax.axis_index(c_ax)
+    r0 = ri * mr
+    c0 = ci * mc
+
+    P1c = jax.lax.dynamic_slice_in_dim(P1, c0, mc)
+    P2c = jax.lax.dynamic_slice_in_dim(P2, c0, mc)
+    Ac = jax.lax.dynamic_slice_in_dim(A, c0, mc)
+    u_c = jax.lax.dynamic_slice_in_dim(u, c0, mc)
+
+    chunk = _divisor_at_most(mr, build_chunk)
+
+    def body(kk, acc):
+        cr0 = r0 + kk * chunk
+        P1r = jax.lax.dynamic_slice_in_dim(P1, cr0, chunk)
+        P2r = jax.lax.dynamic_slice_in_dim(P2, cr0, chunk)
+        Ar = jax.lax.dynamic_slice_in_dim(A, cr0, chunk)
+        u_r = jax.lax.dynamic_slice_in_dim(u, cr0, chunk)
+
+        scores = invariant.score_block(P1r, P1c, P2r, P2c)
+        distinct = ~((Ar[:, 0, None] == Ac[None, :, 0])
+                     | (Ar[:, 1, None] == Ac[None, :, 1]))
+        gr = cr0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, mc), 0)
+        gc = c0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, mc), 1)
+        keep = (distinct & (gr != gc) & (gr < m_true) & (gc < m_true)
+                & (scores > affinityeps))
+        M_t = jnp.where(keep, scores, 0.0)
+        return acc + jnp.dot(u_r, M_t @ u_c)
+
+    return jax.lax.fori_loop(0, mr // chunk, body,
+                             jnp.zeros((), u.dtype))
+
+
 def sharded_dual_matvec(MC_store, mr: int, mc: int, out_dtype,
                         axis_names=("r", "c")):
     """u -> (M u, C u) over block-sharded stacked [M; C] storage.
@@ -320,12 +364,30 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
         if storage_dtype is not None:
             # full-precision objective polish: omega = round(F) needs F
             # accurate to well under 0.5 (reference: src/clipper.cpp:305).
-            # Support-restricted (top-k) rebuild on the replicated gathered
-            # endpoints — O(k^2), identical on every device, no collectives.
+            # Fast path: support-restricted (top-k) rebuild — exact only
+            # when nnz(u) <= k. When the converged support is wider (big
+            # cliques at low outlier ratios / large m), fall back to the
+            # exact chunked block quadform (one extra build pass). The
+            # predicate is computed from the replicated u, so every device
+            # takes the same branch and the psum below stays collective-safe.
             from clipper_tpu.parallel.pool import support_objective
-            F = support_objective(invariant, P1, P2, A, u,
-                                  affinityeps=affinityeps,
-                                  k=support).astype(P1.dtype)
+            k = min(support, m_pad)
+            nnz = jnp.sum(u > 0)
+
+            def fast(_):
+                Fs = support_objective(invariant, P1, P2, A, u,
+                                       affinityeps=affinityeps, k=k,
+                                       include_identity=False)
+                return Fs / (R * C)   # replicated; psum restores Fs
+
+            def exact(_):
+                return _block_quadform(invariant, P1, P2, A, u, m_true,
+                                       mr, mc, affinityeps, build_chunk,
+                                       (r_ax, c_ax))
+
+            part = jax.lax.cond(nnz <= k, fast, exact, None)
+            F = (jax.lax.psum(part, (r_ax, c_ax))
+                 + jnp.dot(u, u)).astype(P1.dtype)
         return u, F, ifinal
 
     shmapped = jax.shard_map(

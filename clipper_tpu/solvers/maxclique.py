@@ -8,7 +8,9 @@ src/maxclique.cpp:47-147, which wraps the external PMC library):
   KCORE  — vertices with core number >= max core ("ROBIN")
 
 Exact search is inherently sequential-combinatorial, so it runs host-side in
-C++ (clipper_tpu/native/maxclique.cpp, our own implementation). KCORE is also
+C++ (clipper_tpu/native/maxclique.cpp, our own implementation); its top-level
+branches are distributed over ``threads`` std::threads sharing an atomic
+incumbent (same role as PMC's OpenMP search). KCORE is also
 available as a jittable TPU op (clipper_tpu.ops.kcore). A pure-Python exact
 fallback covers small graphs when the native library is unavailable.
 """
@@ -36,7 +38,7 @@ class Params:
     """reference: include/clipper/maxclique.h:17-23 (same defaults)."""
 
     method: Method = Method.EXACT
-    threads: int = 24           # kept for API parity; native solver is serial
+    threads: int = 24           # workers for the parallel exact B&B
     time_limit: int = 3600      # [s] cap on exact search
     verbose: bool = False
 
@@ -56,12 +58,13 @@ def solve(A: np.ndarray, params: Params = Params()) -> List[int]:
         lib.mc_solve.restype = ctypes.c_int64
         lib.mc_solve.argtypes = [
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_double, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ]
         out = np.zeros(n, dtype=np.int64)
         num = lib.mc_solve(
             n, adj.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             int(params.method), float(params.time_limit),
+            max(1, int(params.threads)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return sorted(int(v) for v in out[:num])
     return _solve_python(adj, params)

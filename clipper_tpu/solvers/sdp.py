@@ -19,6 +19,26 @@ Splitting X = Z:
             {Z PSD, tr Z = 1} = eigh + simplex projection of eigenvalues.
     U    += X - Z.
 
+SCS-grade machinery, TPU-native:
+  * adaptive rho by residual balancing (r_prim vs r_dual), with the scaled
+    dual U rescaled on every change;
+  * safeguarded type-II Anderson acceleration on the (Z, U) fixed point,
+    attempted every ``acceleration_interval`` iterations over a
+    ``acceleration_lookback``-deep difference history (fixed-size buffers,
+    jit-friendly); a candidate is accepted only if it does not increase the
+    fixed-point residual (one extra map application per attempt), mirroring
+    SCS's safeguarded AA (reference: include/clipper/sdp.h:39-52);
+  * a CERTIFIED dual bound: from the consensus dual T = rho*U, repair to an
+    exactly dual-feasible point (W = max(T - M, 0) on the allowed set,
+    Y = T on the zero set; both are valid multipliers by construction) and
+    report dobj = lambda_max(M + W + Y) — an upper bound on the SDP optimum
+    for ANY iterate, so gap = dobj - pobj is a true optimality certificate.
+
+Infeasibility certificates (SCS's eps_infeas) are vacuous for MSRC-SDR:
+X = I/n is strictly feasible for every (M, C) with unit diagonal and the
+spectrahedron is compact, so neither primal nor dual infeasibility can
+occur; eps_infeas is retained for API parity only.
+
 Node extraction matches the reference exactly (reference: src/sdp.cpp:251-262):
 take the top eigenvector v of X; select i with |v_i| > max|v|/2.
 
@@ -41,20 +61,24 @@ import numpy as np
 class Params:
     """Mirrors reference sdp::Params (reference: include/clipper/sdp.h:39-52).
 
-    acceleration_* are retained for API parity; this first-order solver uses
-    a fixed-penalty ADMM with over-relaxation instead of SCS's AA.
+    acceleration_interval/lookback drive the safeguarded Anderson scheme
+    (0 disables it). eps_infeas is a no-op by mathematics, not omission —
+    see module docstring.
     """
 
     verbose: bool = False
     max_iters: int = 2000
-    acceleration_interval: int = 10   # unused (API parity)
-    acceleration_lookback: int = 10   # unused (API parity)
+    acceleration_interval: int = 10
+    acceleration_lookback: int = 10
     eps_abs: float = 1e-3
     eps_rel: float = 1e-3
-    eps_infeas: float = 1e-7          # unused (API parity)
+    eps_infeas: float = 1e-7          # vacuous for MSRC-SDR (API parity)
     time_limit_secs: float = 0.0      # unused inside jit (API parity)
-    rho: float = 2.0                  # ADMM penalty
+    rho: float = 2.0                  # initial ADMM penalty
     alpha: float = 1.6                # over-relaxation in (1, 2)
+    adaptive_rho: bool = True         # residual balancing
+    rho_mu: float = 10.0              # imbalance trigger
+    rho_tau: float = 2.0              # scale factor per adjustment
 
 
 @dataclasses.dataclass
@@ -65,6 +89,9 @@ class Solution:
     (reference: include/clipper/sdp.h:28-36); the analogous stages here are
     the ADMM solve (t_solve, device) and node extraction (t_extract, host).
     There is no parse stage — the problem is formulated directly on (M, C).
+
+    dobj is a certified upper bound on the SDP optimum (see module
+    docstring), so gap = dobj - pobj certifies optimality.
     """
 
     X: np.ndarray
@@ -78,6 +105,10 @@ class Solution:
     t: float = 0.0
     t_solve: float = 0.0
     t_extract: float = 0.0
+
+    @property
+    def gap(self) -> float:
+        return self.dobj - self.pobj
 
 
 def _project_simplex(lam: jnp.ndarray) -> jnp.ndarray:
@@ -94,25 +125,32 @@ def _project_simplex(lam: jnp.ndarray) -> jnp.ndarray:
 
 class _State(NamedTuple):
     it: jnp.ndarray
-    X: jnp.ndarray
     Z: jnp.ndarray
     U: jnp.ndarray
+    rho: jnp.ndarray
     r_prim: jnp.ndarray
     r_dual: jnp.ndarray
     done: jnp.ndarray
+    # Anderson acceleration difference histories over vec([Z; U]) (L, d)
+    dF: jnp.ndarray
+    dG: jnp.ndarray
+    f_prev: jnp.ndarray
+    g_prev: jnp.ndarray
+    hist: jnp.ndarray   # valid history depth (reset on rho change)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def _admm(M: jnp.ndarray, C: jnp.ndarray, params: Params):
     n = M.shape[0]
     dtype = M.dtype
-    rho = jnp.asarray(params.rho, dtype)
     alpha = jnp.asarray(params.alpha, dtype)
     allowed = C != 0          # C has identity diagonal: X_ii >= 0 allowed
-    Mrho = M / rho
+    L = max(int(params.acceleration_lookback), 0)
+    use_aa = params.acceleration_interval > 0 and L > 0
+    d = 2 * n * n
 
-    def x_step(Z, U):
-        V = Z - U + Mrho
+    def x_step(Z, U, rho):
+        V = Z - U + M / rho
         return jnp.where(allowed, jnp.maximum(V, 0.0), 0.0)
 
     def z_step(V):
@@ -120,34 +158,123 @@ def _admm(M: jnp.ndarray, C: jnp.ndarray, params: Params):
         lam = _project_simplex(lam)
         return (Q * lam) @ Q.T
 
+    def fixed_point(Z, U, rho):
+        """One ADMM sweep; returns (X, Z+, U+)."""
+        X = x_step(Z, U, rho)
+        Xr = alpha * X + (1.0 - alpha) * Z       # over-relaxation
+        Zn = z_step(Xr + U)
+        Un = U + Xr - Zn
+        return X, Zn, Un
+
+    def pack(Z, U):
+        return jnp.concatenate([Z.reshape(-1), U.reshape(-1)])
+
+    def unpack(v):
+        return v[: n * n].reshape(n, n), v[n * n:].reshape(n, n)
+
     def body(s: _State):
-        X = x_step(s.Z, s.U)
-        Xr = alpha * X + (1.0 - alpha) * s.Z     # over-relaxation
-        Z = z_step(Xr + s.U)
-        U = s.U + Xr - Z
-        r_prim = jnp.linalg.norm(X - Z)
-        r_dual = rho * jnp.linalg.norm(Z - s.Z)
+        X, Zp, Up = fixed_point(s.Z, s.U, s.rho)
+
+        if use_aa:
+            s_in = pack(s.Z, s.U)
+            g = pack(Zp, Up)
+            f = g - s_in
+            # shift difference histories when a previous point exists
+            have_prev = s.hist > 0
+            dF = jnp.where(have_prev,
+                           jnp.roll(s.dF, 1, axis=0).at[0].set(f - s.f_prev),
+                           s.dF)
+            dG = jnp.where(have_prev,
+                           jnp.roll(s.dG, 1, axis=0).at[0].set(g - s.g_prev),
+                           s.dG)
+            depth = jnp.minimum(s.hist, L)
+
+            def try_aa(_):
+                # type-II AA: gamma = argmin ||f - dF' gamma|| over the
+                # valid columns; tiny (L, L) regularized normal equations
+                valid = (jnp.arange(L) < depth).astype(dtype)
+                Fm = dF * valid[:, None]                  # (L, d)
+                G_ = Fm @ Fm.T                            # (L, L)
+                reg = 1e-10 * (1.0 + jnp.trace(G_))
+                gamma = jnp.linalg.solve(
+                    G_ + reg * jnp.eye(L, dtype=dtype), Fm @ f)
+                gamma = gamma * valid
+                cand = g - gamma @ (dG * valid[:, None])
+                Zc, Uc = unpack(cand)
+                # safeguard: accept only if the fixed-point residual at the
+                # candidate does not exceed the plain iterate's
+                _, Zc2, Uc2 = fixed_point(Zc, Uc, s.rho)
+                fc = pack(Zc2, Uc2) - cand
+                ok = (jnp.linalg.norm(fc) <= jnp.linalg.norm(f)) & (depth > 0)
+                Zn = jnp.where(ok, Zc2, Zp)
+                Un = jnp.where(ok, Uc2, Up)
+                return Zn, Un
+
+            do_try = (s.it % params.acceleration_interval
+                      == params.acceleration_interval - 1) & (depth > 0)
+            Zn, Un = jax.lax.cond(do_try, try_aa,
+                                  lambda _: (Zp, Up), None)
+        else:
+            Zn, Un = Zp, Up
+            dF = s.dF
+            dG = s.dG
+            f = s.f_prev
+            g = s.g_prev
+
+        r_prim = jnp.linalg.norm(X - Zn)
+        r_dual = s.rho * jnp.linalg.norm(Zn - s.Z)
         eps_p = (params.eps_abs * n
                  + params.eps_rel * jnp.maximum(jnp.linalg.norm(X),
-                                                jnp.linalg.norm(Z)))
-        eps_d = params.eps_abs * n + params.eps_rel * jnp.linalg.norm(rho * U)
+                                                jnp.linalg.norm(Zn)))
+        eps_d = (params.eps_abs * n
+                 + params.eps_rel * jnp.linalg.norm(s.rho * Un))
         done = (r_prim < eps_p) & (r_dual < eps_d)
-        return _State(s.it + 1, X, Z, U, r_prim, r_dual, done)
+
+        # residual balancing (Boyd et al. §3.4.1): rescale the SCALED dual
+        # on every rho change; AA history is invalidated by the rescale
+        rho = s.rho
+        hist = jnp.minimum(s.hist + 1, L) if use_aa else s.hist
+        if params.adaptive_rho:
+            up = r_prim > params.rho_mu * r_dual
+            down = r_dual > params.rho_mu * r_prim
+            scale = jnp.where(up, params.rho_tau,
+                              jnp.where(down, 1.0 / params.rho_tau, 1.0))
+            scale = scale.astype(dtype)
+            rho = jnp.clip(rho * scale, 1e-3, 1e3)
+            Un = Un * (s.rho / rho)
+            hist = jnp.where(rho != s.rho, 0, hist)
+
+        return _State(s.it + 1, Zn, Un, rho, r_prim, r_dual, done,
+                      dF, dG, f, g, hist)
 
     def cond(s: _State):
         return (~s.done) & (s.it < params.max_iters)
 
     Z0 = jnp.eye(n, dtype=dtype) / n
-    init = _State(jnp.int32(0), Z0, Z0, jnp.zeros_like(M),
+    Lb = max(L, 1) if use_aa else 1
+    init = _State(jnp.int32(0), Z0, jnp.zeros_like(M),
+                  jnp.asarray(params.rho, dtype),
                   jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
-                  jnp.asarray(False))
+                  jnp.asarray(False),
+                  jnp.zeros((Lb, d) if use_aa else (1, 1), dtype),
+                  jnp.zeros((Lb, d) if use_aa else (1, 1), dtype),
+                  jnp.zeros(d if use_aa else 1, dtype),
+                  jnp.zeros(d if use_aa else 1, dtype),
+                  jnp.int32(0))
     s = jax.lax.while_loop(cond, body, init)
 
     X = s.Z  # the PSD/trace-feasible iterate
     lam, Q = jnp.linalg.eigh(X)
     evec1 = Q[:, -1]
     pobj = jnp.sum(M * X)
-    dobj = pobj - rho * s.r_prim  # surrogate gap estimate
+
+    # certified dual bound: repair T = rho*U to exact dual feasibility.
+    # Dual: min nu s.t. nu*I - M - W - Y >= 0 (PSD), W >= 0 on the allowed
+    # set, Y free on the zero set. Any such (W, Y) certifies
+    # optimum <= nu = lambda_max(M + W + Y).
+    T = s.rho * (s.U + s.U.T) / 2
+    D = jnp.where(allowed, M + jnp.maximum(T - M, 0.0), T)
+    dobj = jnp.linalg.eigvalsh(D)[-1]
     return X, lam, evec1, pobj, dobj, s.it
 
 

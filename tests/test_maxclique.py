@@ -68,6 +68,24 @@ def test_heu_finds_planted():
             assert adj[a, b]
 
 
+def test_exact_parallel_matches_serial():
+    """threads>1 must find a clique of the same (maximum) size as threads=1
+    on a hard dense random graph where the B&B actually branches."""
+    rng = np.random.default_rng(11)
+    n = 200
+    adj = rng.uniform(size=(n, n)) < 0.5
+    adj = np.triu(adj, 1)
+    adj = adj | adj.T
+    serial = maxclique.solve(
+        adj, maxclique.Params(method=maxclique.Method.EXACT, threads=1))
+    parallel = maxclique.solve(
+        adj, maxclique.Params(method=maxclique.Method.EXACT, threads=4))
+    assert len(parallel) == len(serial)
+    for i, a in enumerate(parallel):
+        for b in parallel[i + 1:]:
+            assert adj[a, b]
+
+
 def test_kcore_numbers_native_vs_python_vs_jax():
     rng = np.random.default_rng(3)
     adj = rng.uniform(size=(40, 40)) < 0.2

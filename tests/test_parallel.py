@@ -247,3 +247,23 @@ def test_sharded_int8_chunked_end_to_end():
     assert len(sel - set(range(30))) <= 3, sel
     # the polished objective must be consistent with the clique size
     assert 20 <= float(soln.score) <= 35
+
+
+def test_sharded_support_overflow_exact_fallback():
+    """When the converged support exceeds the polish's top-k, the pipeline
+    must fall back to the exact chunked block quadform: omega = round(F)
+    would otherwise truncate the DSD_HEU mask to ~k entries (the bug class
+    found at m=65536 on hardware: R collapsed to F/clique_size)."""
+    rng = np.random.default_rng(21)
+    D1, D2, A = make_problem(rng, n_inliers=30)
+    u0 = rng.uniform(size=96).astype(np.float32)
+    mesh = sharded.make_mesh((2, 4))
+    soln = sharded.solve_sharded(
+        INV, jnp.asarray(D1, jnp.float32), jnp.asarray(D2, jnp.float32),
+        jnp.asarray(A), jnp.asarray(u0), ct.Params(), mesh,
+        storage_dtype=jnp.int8, probes=4, power_steps=2, build_chunk=16,
+        support=8)  # << clique size 30: fast path would give F ~ 2-4
+    sel = set(np.flatnonzero(np.asarray(soln.mask)))
+    assert len(sel & set(range(30))) >= 26, sel
+    assert len(sel - set(range(30))) <= 3, sel
+    assert 20 <= float(soln.score) <= 35

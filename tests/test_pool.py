@@ -373,3 +373,47 @@ def test_pool_dsd_rounding_downgrade_warns():
         warnings.simplefilter("always")
         pool.make_pool_pipeline(inv, ct.Params(rounding=ct.Rounding.DSD))
     assert any("DSD" in str(w.message) for w in rec)
+
+
+def test_pool_support_bucket_covers_wide_cliques():
+    """A clique wider than the polish's default top-k must not truncate
+    omega = round(F): the pipeline re-buckets k to the observed support
+    (the bug class found at m=65536 on hardware)."""
+    rng = np.random.default_rng(17)
+    W, n, ni, m = 4, 80, 60, 128   # clique 60 >> support 16
+    D1 = rng.uniform(size=(n, 3))
+    D2s, As = [], []
+    for _ in range(W):
+        th = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        D2 = D1 @ R.T + rng.normal(0, 0.001, size=(n, 3))
+        A = np.zeros((m, 2), dtype=np.int32)
+        A[:ni, 0] = A[:ni, 1] = np.arange(ni)
+        A[ni:, 0] = rng.integers(0, n, m - ni)
+        A[ni:, 1] = rng.integers(0, n, m - ni)
+        D2s.append(D2); As.append(A)
+    u0s = rng.uniform(size=(W, m)).astype(np.float32)
+
+    inv = ct.EuclideanDistance(ct.EuclideanDistanceParams(sigma=0.015,
+                                                          epsilon=0.05))
+    args = (jnp.asarray(D1, jnp.float32),
+            jnp.asarray(np.stack(D2s), jnp.float32),
+            jnp.asarray(np.stack(As)), jnp.asarray(u0s))
+    pp = pool.make_pool_pipeline(inv, ct.Params(), lanes=4, window=4,
+                                 support=16)
+    solns = pp(*args)
+    for w in range(W):
+        sel = set(np.flatnonzero(np.asarray(solns.mask[w])))
+        assert len(sel & set(range(ni))) >= ni - 5, (w, len(sel))
+        assert float(solns.score[w]) > ni * 0.8
+
+    # multistart path: same re-bucketing
+    K = 2
+    u0K = rng.uniform(size=(W, K, m)).astype(np.float32)
+    pm = pool.make_pool_multistart_pipeline(inv, ct.Params(), restarts=K,
+                                            lanes=4, window=4, support=16)
+    solns = pm(args[0], args[1], args[2], jnp.asarray(u0K))
+    for w in range(W):
+        sel = set(np.flatnonzero(np.asarray(solns.mask[w])))
+        assert len(sel & set(range(ni))) >= ni - 5, (w, len(sel))

@@ -116,3 +116,39 @@ def test_sdr_batched_matches_single():
     for b in range(3):
         single = sdp.solve(Ms[b], Cs[b])
         assert set(solns_b[b].nodes) == set(single.nodes)
+
+
+def test_sdr_certified_gap_oracle():
+    """The reference's SDP test is unasserted (reference: test/sdp_test.cpp:59-62);
+    we assert a certified optimality gap on the same 20x20 matrix: dobj is a
+    true dual-feasible upper bound (repaired multipliers, see sdp.py), so
+    |dobj - pobj| < 1e-3 certifies the solve."""
+    M = golden_matrix()
+    C = (M > 0).astype(float)
+    p = sdp.Params(eps_abs=1e-6, eps_rel=1e-6, max_iters=20000)
+    soln = sdp.solve(M, C, p)
+    assert abs(soln.gap) < 1e-3, (soln.pobj, soln.dobj)
+    assert soln.gap > -1e-8  # dobj is an upper bound (up to eigh rounding)
+    assert set(soln.nodes) == {8, 9, 16}
+
+
+def test_sdr_aa_and_adaptive_rho_match_plain():
+    """Acceleration and rho adaptation are safeguarded: same fixed point,
+    same node extraction, certified gap at least as small."""
+    rng = np.random.default_rng(5)
+    n = 32
+    W = np.triu(rng.uniform(0, 0.3, size=(n, n)) *
+                (rng.uniform(size=(n, n)) < 0.25), 1)
+    clique = [2, 9, 17, 25, 30]
+    for a in range(len(clique)):
+        for b in range(a + 1, len(clique)):
+            W[clique[a], clique[b]] = 1.0
+    M = W + W.T + np.eye(n)
+    C = (M > 0).astype(float)
+    tight = dict(eps_abs=1e-6, eps_rel=1e-6, max_iters=20000)
+    plain = sdp.solve(M, C, sdp.Params(acceleration_interval=0,
+                                       adaptive_rho=False, **tight))
+    accel = sdp.solve(M, C, sdp.Params(**tight))
+    assert set(accel.nodes) == set(plain.nodes) == set(clique)
+    assert abs(accel.pobj - plain.pobj) < 1e-4
+    assert abs(accel.gap) < 1e-3
