@@ -32,7 +32,14 @@ class PairwiseInvariant:
     Subclasses must implement :meth:`__call__` as a broadcasting, elementwise
     (over leading dims) jnp function. Overriding :meth:`score_matrix` is
     optional but recommended for custom invariants with matmul structure.
+
+    ``symmetric``: declare True when score(i, j) == score(j, i) exactly
+    (both built-ins are). Symmetric invariants unlock one-pass affinity
+    builds (no upper-triangle mirror) in the pool engine and are required
+    by the sharded engine, which computes both triangles independently.
     """
+
+    symmetric: bool = False
 
     def __call__(self, ai, aj, bi, bj):
         """Score consistency of associations (ai->bi) and (aj->bj).

@@ -32,6 +32,9 @@ class EuclideanDistanceParams:
 
 
 class EuclideanDistance(PairwiseInvariant):
+    symmetric = True  # |l_i - l_j| is exchange-invariant (bitwise: the Gram
+                      # distance matrix is computed once for both triangles)
+
     def __init__(self, params: EuclideanDistanceParams = EuclideanDistanceParams()):
         self.params = params
 

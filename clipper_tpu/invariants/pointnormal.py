@@ -44,6 +44,8 @@ class PointNormalDistanceParams:
 
 
 class PointNormalDistance(PairwiseInvariant):
+    symmetric = True
+
     def __init__(self, params: PointNormalDistanceParams = PointNormalDistanceParams()):
         self.params = params
 

@@ -116,6 +116,15 @@ def score_pairwise_consistency(
         valid = jnp.arange(A.shape[0]) < m_true
         keep = keep & valid[:, None] & valid[None, :]
 
+    if getattr(invariant, "symmetric", False):
+        # one-pass build: score_matrix is exchange-symmetric bitwise for
+        # declared-symmetric invariants (both built-ins compute one Gram
+        # distance matrix for both triangles), so no mirror round-trip —
+        # the masks + (downstream) quantization fuse into the score sweep
+        M = jnp.where(keep, scores, 0.0).astype(scores.dtype)
+        C = keep.astype(scores.dtype)
+        return M, C
+
     # The reference computes the strict upper triangle and mirrors it
     # (reference: src/clipper.cpp:31-32, getAffinityMatrix selfadjointView at
     # src/clipper.cpp:133). Mirroring the upper triangle here guarantees an

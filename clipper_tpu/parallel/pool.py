@@ -333,8 +333,13 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
             check_vma=False,
         ))
 
-    def pipeline(D1, D2s, As, u0s):
+    def pipeline(D1, D2s, As, u0s, m_trues=None):
+        """m_trues: optional (W,) i32 — per-problem true sizes for padded
+        mixed-m workloads (rows/cols >= m_true are exactly inert; see
+        parallel.buckets)."""
         W = D2s.shape[0]
+        if m_trues is None:
+            m_trues = jnp.full((W,), As.shape[1], jnp.int32)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
             D = mesh.shape[axis_name]
@@ -344,6 +349,7 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
             D2s = jax.device_put(D2s, bshard)
             As = jax.device_put(As, bshard)
             u0s = jax.device_put(u0s, bshard)
+            m_trues = jax.device_put(m_trues, bshard)
             D1 = jax.device_put(D1, NamedSharding(mesh, Pspec()))
         # chunked building would slice across shard boundaries; under a mesh
         # the single sharded build call auto-partitions instead
@@ -351,7 +357,7 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
         MCs_parts, init_parts = [], []
         for s in range(0, W, csize):
             MCs_c, inits_c = build(D1, D2s[s:s + csize], As[s:s + csize],
-                                   u0s[s:s + csize])
+                                   u0s[s:s + csize], m_trues[s:s + csize])
             MCs_parts.append(MCs_c)
             init_parts.append(inits_c)
         MCs = jnp.concatenate(MCs_parts) if len(MCs_parts) > 1 else MCs_parts[0]
