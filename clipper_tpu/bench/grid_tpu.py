@@ -7,8 +7,9 @@ protocols; the pool engine keeps a slow straggler from stalling the whole
 cell, which the lock-step batched engine suffered at m=2048/rho=0.4).
 Reports per-problem end-to-end latency and mean precision/recall.
 
-The polish uses the full affinity rebuild (support=None): grid cells at low
-outlier ratios have cliques up to size m, beyond any fixed top-k support.
+Low-outlier cells have cliques up to size m; the pool pipeline's support
+polish re-buckets k to the observed max support, so omega rounding stays
+exact at every rho (see pool._support_bucket).
 
 Usage: python -m clipper_tpu.bench.grid_tpu [trials] [--engine=pool|batched]
 Writes a markdown table to stdout.
@@ -32,10 +33,16 @@ def main():
 
     from clipper_tpu import utils
     from clipper_tpu.bench import data, harness
-    from clipper_tpu.parallel import batched
+    from clipper_tpu.parallel import batched, pool
     from clipper_tpu.types import Params
 
-    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    args = sys.argv[1:]
+    engine = "pool"
+    for a in list(args):
+        if a.startswith("--engine="):
+            engine = a.split("=", 1)[1]
+            args.remove(a)
+    trials = int(args[0]) if args else 20
     num_assocs = (64, 256, 512, 1024, 2048)
     outrats = (0.0, 0.2, 0.4, 0.8, 0.9)
 
@@ -43,9 +50,16 @@ def main():
     key = jax.random.PRNGKey(0)
     pcd0 = harness.load_bunny()
     inv = harness.default_invariant()
-    pipe = batched.make_batched_pipeline(inv, Params(), shared_d1=True,
-                                         solver="flat",
-                                         matvec="stacked_bf16")
+    if engine == "pool":
+        # headline config: lane compaction keeps one slow trial (e.g. the
+        # m=2048 rho=0.4 backtracking tail) from stalling the whole cell
+        pipe = pool.make_pool_pipeline(inv, Params(), storage_dtype=jnp.int8,
+                                       lanes=min(trials, 128), window=12,
+                                       power_steps=4)
+    else:
+        pipe = batched.make_batched_pipeline(inv, Params(), shared_d1=True,
+                                             solver="flat",
+                                             matvec="stacked_bf16")
 
     print("| rho | m | end-to-end/problem [ms] | batch total [ms] | P [%] | R [%] |")
     print("|---|---|---|---|---|---|")
