@@ -54,6 +54,13 @@ class Clipper:
         self._M: Optional[jnp.ndarray] = None   # (m, m) zero-diag symmetric
         self._C: Optional[jnp.ndarray] = None   # (m, m) zero-diag symmetric 0/1
         self._soln: Optional[Solution] = None
+        # sparse product path (set_sparse_matrix_data with scipy input):
+        # symmetric scipy matrices + occupied-tile device storage; a dense
+        # (m, m) is never materialized on this path
+        self._M_sparse = None                    # scipy.sparse, symmetric
+        self._C_sparse = None
+        self._bs = None                          # ops.blocksparse storage
+        self._bs_info: Optional[dict] = None
 
     # ------------------------------------------------------------------
     # scoring
@@ -72,6 +79,7 @@ class Clipper:
                                     affinityeps=self.params.affinityeps,
                                     dtype=self.dtype)
         self._M, self._C, self._A = M, C, Aout
+        self._clear_sparse()
 
     # ------------------------------------------------------------------
     # solvers
@@ -89,10 +97,21 @@ class Clipper:
         multistart > 1 runs that many random inits in parallel on device and
         keeps the densest cluster found (highest F) — restarts are nearly
         free under batching and remove the local solver's init sensitivity
-        (an extension; the reference solves from a single init).
+        (an extension; the reference solves from a single init). Passing
+        BOTH an explicit ``u0`` and ``multistart > 1`` is contradictory
+        (one deterministic init vs several random ones) and raises.
+
+        If the matrices were injected sparse (``set_sparse_matrix_data``
+        with scipy input at low tile occupancy), the solve runs over
+        occupied-tile device storage and a dense (m, m) is never
+        materialized (see ops.blocksparse).
         """
         self._require_matrices()
-        m = self._M.shape[0]
+        if multistart > 1 and u0 is not None:
+            raise ValueError(
+                "solve(u0=..., multistart>1) is contradictory: an explicit "
+                "u0 fixes the single init. Pass key=... to seed the "
+                "multistart draws instead")
         if key is None:
             if self.seed is None:
                 key = jax.random.PRNGKey(time.time_ns() & 0x7FFFFFFF)
@@ -100,6 +119,9 @@ class Clipper:
                 key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                          self._nsolves)
         self._nsolves += 1
+        if self._bs_info is not None:
+            return self._solve_sparse(u0, key, multistart)
+        m = self._M.shape[0]
         t0 = time.perf_counter()
         if multistart > 1 and u0 is None:
             from clipper_tpu.solvers import msrc_flat
@@ -129,6 +151,56 @@ class Clipper:
         self._soln = soln
         return soln
 
+    def _solve_sparse(self, u0, key, multistart: int) -> Solution:
+        """Solve over the occupied-tile storage built by
+        set_sparse_matrix_data — no dense (m, m) is ever materialized:
+        the solver reads tiles, the full-precision polish is an O(nnz)
+        scipy quadform, and DSD rounding densifies only the (|S|, |S|)
+        support submatrix."""
+        from clipper_tpu.ops import blocksparse
+        from clipper_tpu.solvers import msrc_flat
+
+        m = self._bs_info["m"]
+        t0 = time.perf_counter()
+        K = max(1, int(multistart))
+        best = None
+        for _ in range(K):
+            if u0 is not None:
+                u0k = jnp.asarray(u0, self.dtype)
+            else:
+                key, sub = jax.random.split(key)
+                u0k = utils.randvec(sub, m, dtype=self.dtype)
+            u, F, ifinal = blocksparse.solve_prepared(
+                self._bs, self._bs_info, u0k, self.params, power_steps=4)
+            # full-precision objective u'(M + I)u via a sparse matvec:
+            # int8 tile storage biases the in-loop F (BENCH.md round 2),
+            # and omega = round(F) needs accuracy well under 0.5
+            u_np = np.asarray(u, np.float64)
+            Fp = float(u_np @ (self._M_sparse @ u_np) + u_np @ u_np)
+            if best is None or Fp > best[1]:
+                best = (u_np, Fp, int(ifinal), u0k)
+        u_np, Fp, ifinal, u0k = best
+
+        if self.params.rounding == Rounding.DSD:
+            from clipper_tpu.solvers import dsd
+            S = np.flatnonzero(u_np > 0)
+            A_sub = np.asarray(
+                self._M_sparse[np.ix_(S, S)].toarray(), np.float64)
+            nodes = S[np.asarray(dsd.solve(A_sub), np.int64)]
+            mask = np.zeros(m, dtype=bool)
+            mask[nodes] = True
+            mask = jnp.asarray(mask)
+        else:
+            mask = msrc.round_solution(
+                jnp.asarray(u_np, self.dtype),
+                jnp.asarray(Fp, self.dtype), self.params.rounding)
+        soln = Solution(ifinal=jnp.int32(ifinal), mask=mask, u0=u0k,
+                        u=jnp.asarray(u_np, self.dtype),
+                        score=jnp.asarray(Fp, self.dtype))
+        soln.t = time.perf_counter() - t0
+        self._soln = soln
+        return soln
+
     def solve_as_maximum_clique(self, params=None) -> Solution:
         """Solve the exact/heuristic maximum-clique problem on C.
 
@@ -136,10 +208,12 @@ class Clipper:
         """
         from clipper_tpu.solvers import maxclique
         self._require_matrices()
-        m = self._M.shape[0]
+        m = self._m()
         # densified constraint adjacency without diagonal
-        # (reference: src/clipper.cpp:84-85)
-        adj = np.asarray(self._C) != 0
+        # (reference: src/clipper.cpp:84-85) — the host B&B works on a
+        # bitset adjacency, so densifying the 0/1 pattern is inherent here
+        C = self._C if self._C is not None else self._C_sparse.toarray()
+        adj = np.asarray(C) != 0
         t0 = time.perf_counter()
         nodes = maxclique.solve(adj, params or maxclique.Params())
         t = time.perf_counter() - t0
@@ -158,7 +232,7 @@ class Clipper:
         """
         from clipper_tpu.solvers import sdp
         self._require_matrices()
-        m = self._M.shape[0]
+        m = self._m()
         M = self.get_affinity_matrix()
         C = self.get_constraint_matrix()
         t0 = time.perf_counter()
@@ -187,13 +261,26 @@ class Clipper:
         return utils.select_inlier_associations(self._soln, self._A)
 
     def get_affinity_matrix(self) -> jnp.ndarray:
-        """Symmetric M with identity diagonal (reference: src/clipper.cpp:131-136)."""
+        """Symmetric M with identity diagonal (reference: src/clipper.cpp:131-136).
+
+        On the sparse path this densifies ON DEMAND (the accessor's return
+        type is dense by contract); solve() itself never does.
+        """
         self._require_matrices()
+        if self._M is None:
+            return jnp.asarray(self._M_sparse.toarray(), self.dtype) + \
+                jnp.eye(self._bs_info["m"], dtype=self.dtype)
         return self._M + jnp.eye(self._M.shape[0], dtype=self.dtype)
 
     def get_constraint_matrix(self) -> jnp.ndarray:
-        """Symmetric C with identity diagonal (reference: src/clipper.cpp:140-145)."""
+        """Symmetric C with identity diagonal (reference: src/clipper.cpp:140-145).
+
+        Densifies on demand on the sparse path (see get_affinity_matrix).
+        """
         self._require_matrices()
+        if self._C is None:
+            return jnp.asarray(self._C_sparse.toarray(), self.dtype) + \
+                jnp.eye(self._bs_info["m"], dtype=self.dtype)
         return self._C + jnp.eye(self._C.shape[0], dtype=self.dtype)
 
     def set_matrix_data(self, M, C, A=None) -> None:
@@ -209,18 +296,61 @@ class Clipper:
         Cu = jnp.triu(C, k=1)
         self._M = Mu + Mu.T
         self._C = Cu + Cu.T
+        self._clear_sparse()
         if A is not None:
             self._A = as_association(A)
 
-    def set_sparse_matrix_data(self, M, C, A=None) -> None:
+    def set_sparse_matrix_data(self, M, C, A=None, *, tile: int = 128,
+                               max_occupancy: float = 0.5,
+                               storage_dtype=None) -> None:
         """Inject upper-triangular (no diagonal) sparse or dense matrices.
 
         reference: src/clipper.cpp:162-166 (matrices must be upper triangular
         with unset diagonal).
+
+        scipy.sparse input STAYS sparse: the matrices are symmetrized
+        sparsely and converted to occupied-tile device storage
+        (ops.blocksparse.from_scipy) — when tile occupancy is under
+        ``max_occupancy``, :meth:`solve` runs over the tiles and a dense
+        (m, m) is never materialized, answering the reference's sparse
+        input surface (include/clipper/clipper.h:139-143) at TPU tile
+        granularity. Dense/array input takes the dense path as before.
+
+        storage_dtype: tile storage dtype (default: int8 in f32 working
+        precision — same quantized-hot-loop / full-precision-polish
+        contract as the pool engines; f64 working precision stores f64).
         """
-        M = _densify(M)
-        C = _densify(C)
-        self.set_matrix_data(M + M.T, C + C.T, A)
+        import scipy.sparse as sp
+
+        if not sp.issparse(M):
+            M = _densify(M)
+            C = _densify(C)
+            self.set_matrix_data(M + M.T, C + C.T, A)
+            return
+
+        from clipper_tpu.ops import blocksparse
+        M = sp.triu(sp.csr_matrix(M), k=1)
+        C = sp.triu(sp.csr_matrix(C), k=1)
+        M_sym = (M + M.T).tocsr()
+        C_sym = (C + C.T).tocsr()
+        if storage_dtype is None:
+            storage_dtype = (jnp.float64 if self.dtype == jnp.float64
+                             else jnp.int8)
+        bs, info = blocksparse.from_scipy(
+            M_sym, C_sym, tile=tile, storage_dtype=storage_dtype,
+            max_occupancy=max_occupancy)
+        if bs is None:
+            # high occupancy: dense storage is the right representation;
+            # fall back to the dense facade path
+            del info
+            self.set_matrix_data(jnp.asarray(M_sym.toarray(), self.dtype),
+                                 jnp.asarray(C_sym.toarray(), self.dtype), A)
+            return
+        self._M_sparse, self._C_sparse = M_sym, C_sym
+        self._bs, self._bs_info = bs, info
+        self._M = self._C = None
+        if A is not None:
+            self._A = as_association(A)
 
     def set_parallelize(self, parallelize: bool) -> None:
         """No-op, kept for API parity (reference: include/clipper/clipper.h:148).
@@ -230,8 +360,16 @@ class Clipper:
 
     # ------------------------------------------------------------------
 
+    def _m(self) -> int:
+        return (self._M.shape[0] if self._M is not None
+                else self._bs_info["m"])
+
+    def _clear_sparse(self):
+        self._M_sparse = self._C_sparse = None
+        self._bs = self._bs_info = None
+
     def _require_matrices(self):
-        if self._M is None or self._C is None:
+        if (self._M is None or self._C is None) and self._bs_info is None:
             raise RuntimeError(
                 "no affinity/constraint matrices; call "
                 "score_pairwise_consistency or set_matrix_data first")

@@ -134,3 +134,55 @@ def score_pairwise_consistency(
     Cu = jnp.triu(keep, k=1)
     C = (Cu | Cu.T).astype(scores.dtype)
     return M, C
+
+
+def score_consistency_stored(
+    invariant: PairwiseInvariant,
+    D1: jnp.ndarray,
+    D2: jnp.ndarray,
+    A: jnp.ndarray,
+    *,
+    affinityeps: float = 1e-4,
+    m_true=None,
+    storage_dtype=jnp.int8,
+) -> jnp.ndarray:
+    """Stacked (2m, m) [M; C] built DIRECTLY in the storage dtype.
+
+    Bit-identical to ``quantize_stacked(concat(score_pairwise_consistency))``
+    (/ ``.astype`` for bf16) but never materializes the full-precision C or
+    the full-precision stacked concat: C is 0/1 so its int8 quantization is
+    exactly ``127 * keep`` straight from the bool mask, and M's quantization
+    is an elementwise epilogue XLA fuses into the score sweep. This removes
+    the f32 C write/read and quarters the concat traffic — the build stage
+    was ~20% of the round-1 headline pipeline (BENCH.md).
+
+    Reference semantics anchor: masks from src/clipper.cpp:35-55, C as the
+    0/1 pattern of M from src/clipper.cpp:63-64.
+    """
+    from clipper_tpu.solvers.msrc_flat import _INT8_SCALE
+
+    P1 = D1[A[:, 0]]
+    P2 = D2[A[:, 1]]
+    scores = invariant.score_matrix(P1, P2)
+
+    keep = distinctness_mask(A) & (scores > affinityeps)
+    if m_true is not None:
+        valid = jnp.arange(A.shape[0]) < m_true
+        keep = keep & valid[:, None] & valid[None, :]
+
+    if not getattr(invariant, "symmetric", False):
+        # exact-symmetry guarantee for custom invariants (mirror upper)
+        keep = jnp.triu(keep, k=1)
+        scores = jnp.where(keep, scores, 0.0)
+        scores = scores + scores.T
+        keep = keep | keep.T
+
+    is_int8 = jnp.dtype(storage_dtype) == jnp.int8
+    if is_int8:
+        Mq = jnp.clip(jnp.round(jnp.where(keep, scores, 0.0) * _INT8_SCALE),
+                      0, 127).astype(jnp.int8)
+        Cq = jnp.where(keep, jnp.int8(int(_INT8_SCALE)), jnp.int8(0))
+    else:
+        Mq = jnp.where(keep, scores, 0.0).astype(storage_dtype)
+        Cq = keep.astype(storage_dtype)
+    return jnp.concatenate([Mq, Cq], axis=0)

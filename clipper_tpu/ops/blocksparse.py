@@ -27,6 +27,7 @@ dense fallback when occupancy is high (``from_dense``).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -121,6 +122,77 @@ def from_dense(M, C, tile: int = 128, storage_dtype=jnp.int8,
     return bs, info
 
 
+def from_scipy(M, C, tile: int = 128, storage_dtype=jnp.int8,
+               max_occupancy: float = 0.5
+               ) -> Tuple[Optional[BlockSparseMC], dict]:
+    """Sparse-input tile build: scipy matrices -> occupied-tile storage.
+
+    Unlike :func:`from_dense`, a dense (m, m) is NEVER materialized on the
+    sparse path — tiles are scattered directly from the COO triplets, so
+    host memory is O(nnz + T * tile^2). This is the product path behind
+    ``Clipper.set_sparse_matrix_data`` for genuinely sparse problems
+    (the reference accepts sparse input end-to-end:
+    include/clipper/clipper.h:139-143, src/clipper.cpp:61-64).
+
+    M, C: scipy.sparse matrices, FULL symmetric with zero diagonal (the
+    facade symmetrizes the reference's upper-triangle input convention).
+    Occupied tiles are the union of M's and C's tile patterns. Only when
+    occupancy > max_occupancy does the fallback densify (at that point
+    dense storage is the right representation anyway; ``info["dense"]``).
+    """
+    import scipy.sparse as sp
+
+    M = sp.coo_matrix(M)
+    C = sp.coo_matrix(C)
+    m = M.shape[0]
+    t = int(tile)
+    m_pad = -(-m // t) * t
+    nt = m_pad // t
+
+    def tile_ids(X):
+        return (X.row // t).astype(np.int64) * nt + (X.col // t)
+
+    occ_ids = np.unique(np.concatenate([tile_ids(M), tile_ids(C)]))
+    T = len(occ_ids)
+    occupancy = float(T) / (nt * nt)
+    info = {"occupancy": occupancy, "n_tiles": T, "nt": nt,
+            "m": m, "m_pad": m_pad}
+
+    if occupancy > max_occupancy:
+        stacked = np.zeros((2 * m_pad, m_pad), np.float32)
+        stacked[:m, :m] = M.toarray()
+        stacked[m_pad:m_pad + m, :m] = C.toarray()
+        MC = jnp.asarray(stacked)
+        if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
+            info["dense"] = msrc_flat.quantize_stacked(MC)
+        elif storage_dtype is not None:
+            info["dense"] = MC.astype(storage_dtype)
+        else:
+            info["dense"] = MC
+        return None, info
+
+    tile_of = {int(g): k for k, g in enumerate(occ_ids)}  # tile id -> slot
+    tiles = np.zeros((T, 2 * t, t), np.float32)
+
+    def scatter(X, half):
+        ids = tile_ids(X)
+        slots = np.fromiter((tile_of[int(g)] for g in ids), np.int64,
+                            count=len(ids))
+        tiles[slots, half * t + X.row % t, X.col % t] = X.data
+
+    scatter(M, 0)
+    scatter(C, 1)
+    tiles = jnp.asarray(tiles)
+    if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
+        tiles = msrc_flat.quantize_stacked(tiles)
+    elif storage_dtype is not None:
+        tiles = tiles.astype(storage_dtype)
+    bs = BlockSparseMC(tiles=tiles,
+                       rows=jnp.asarray(occ_ids // nt, jnp.int32),
+                       cols=jnp.asarray(occ_ids % nt, jnp.int32))
+    return bs, info
+
+
 def make_matvec(bs: BlockSparseMC, nt: int, out_dtype):
     """Dual matvec u -> (M u, C u) over occupied-tile storage.
 
@@ -170,39 +242,55 @@ def solve_single(M, C, u0, params=None, *, tile: int = 128,
     solver's in-loop objective in the storage precision; callers should
     re-polish in full precision before rounding, as the dense pipelines do.
     """
+    bs, info = from_dense(M, C, tile=tile, storage_dtype=storage_dtype,
+                          max_occupancy=max_occupancy)
+    u, F, ifinal = solve_prepared(bs, info, u0, params, probes=probes,
+                                  power_steps=power_steps)
+    return u, F, ifinal, info
+
+
+def solve_prepared(bs: Optional[BlockSparseMC], info: dict, u0,
+                   params=None, *, probes: int = 1, power_steps: int = 0):
+    """Run the flat solver over prepared tile (or fallback dense) storage.
+
+    (bs, info) from :func:`from_dense` / :func:`from_scipy` — build once,
+    solve many times (multistart, warm restarts) with no rebuild.
+    Returns (u, F, ifinal); F is the in-loop storage-precision objective.
+    """
     from clipper_tpu.types import Params
     if params is None:
         params = Params()
-    m = u0.shape[0]
-    bs, info = from_dense(M, C, tile=tile, storage_dtype=storage_dtype,
-                          max_occupancy=max_occupancy)
+    m = info["m"]
     m_pad = info["m_pad"]
     u0p = jnp.pad(jnp.asarray(u0), (0, m_pad - m))
 
-    def _run(mv, u0p):
-        if power_steps:
-            u0p = msrc_flat.power_init(mv, u0p, power_steps)
-        if probes > 1:
-            return msrc_flat.flat_solve_single_multiprobe(
-                mv, u0p, params, probes=probes)
-        return msrc_flat.flat_solve_single(mv, u0p, params)
-
     if bs is None:
-        mc = info["dense"]
+        u, F, ifinal = _solve_dense(info["dense"], u0p, params=params,
+                                    probes=probes, power_steps=power_steps)
+    else:
+        u, F, ifinal = _solve_block(bs, u0p, nt=info["nt"], params=params,
+                                    probes=probes, power_steps=power_steps)
+    return u[:m], F, ifinal
 
-        @jax.jit
-        def run_dense(MC, u0p):
-            mv = msrc_flat.make_stacked_matvec(MC, u0p.dtype)
-            return _run(mv, u0p)
-        u, F, ifinal = run_dense(mc, u0p)
-        return u[:m], F, ifinal, info
 
-    nt = info["nt"]
+def _run_flat(mv, u0p, params, probes, power_steps):
+    if power_steps:
+        u0p = msrc_flat.power_init(mv, u0p, power_steps)
+    if probes > 1:
+        return msrc_flat.flat_solve_single_multiprobe(
+            mv, u0p, params, probes=probes)
+    return msrc_flat.flat_solve_single(mv, u0p, params)
 
-    @jax.jit
-    def run_block(bs, u0p):
-        mv = make_matvec(bs, nt, u0p.dtype)
-        return _run(mv, u0p)
 
-    u, F, ifinal = run_block(bs, u0p)
-    return u[:m], F, ifinal, info
+@functools.partial(jax.jit, static_argnames=("params", "probes",
+                                             "power_steps"))
+def _solve_dense(MC, u0p, *, params, probes, power_steps):
+    mv = msrc_flat.make_stacked_matvec(MC, u0p.dtype)
+    return _run_flat(mv, u0p, params, probes, power_steps)
+
+
+@functools.partial(jax.jit, static_argnames=("nt", "params", "probes",
+                                             "power_steps"))
+def _solve_block(bs, u0p, *, nt, params, probes, power_steps):
+    mv = make_matvec(bs, nt, u0p.dtype)
+    return _run_flat(mv, u0p, params, probes, power_steps)

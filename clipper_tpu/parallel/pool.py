@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from clipper_tpu.invariants.base import PairwiseInvariant
-from clipper_tpu.ops.affinity import score_pairwise_consistency
+from clipper_tpu.ops.affinity import (score_consistency_stored,
+                                      score_pairwise_consistency)
 from clipper_tpu.solvers import msrc, msrc_flat
 from clipper_tpu.types import Params, Rounding, Solution
 
@@ -268,16 +269,19 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     rounding = _pool_rounding(params)
 
     def build_one(D1, D2, A, u0, m_true):
-        M, C = score_pairwise_consistency(invariant, D1, D2, A,
-                                          affinityeps=affinityeps,
-                                          m_true=m_true)
-        MC = jnp.concatenate([M, C], axis=0)
-        if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
-            MC_store = msrc_flat.quantize_stacked(MC)
-        elif storage_dtype is not None:
-            MC_store = MC.astype(storage_dtype)
+        if storage_dtype is not None:
+            # direct-to-storage build: quantization fuses into the score
+            # sweep; no full-precision C or stacked concat is materialized
+            # (bit-identical to quantize(concat(build)) — see
+            # ops.affinity.score_consistency_stored)
+            MC_store = score_consistency_stored(
+                invariant, D1, D2, A, affinityeps=affinityeps,
+                m_true=m_true, storage_dtype=storage_dtype)
         else:
-            MC_store = MC
+            M, C = score_pairwise_consistency(invariant, D1, D2, A,
+                                              affinityeps=affinityeps,
+                                              m_true=m_true)
+            MC_store = jnp.concatenate([M, C], axis=0)
         # init through the SAME storage matvec the pool loop uses, so a
         # lane's trajectory is identical to the batched engine's
         mv = msrc_flat.make_stacked_matvec(MC_store, u0.dtype)
@@ -411,15 +415,14 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
     rounding = _pool_rounding(params)
 
     def build_one(D1, D2, A, u0K):
-        M, C = score_pairwise_consistency(invariant, D1, D2, A,
-                                          affinityeps=affinityeps)
-        MC = jnp.concatenate([M, C], axis=0)
-        if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
-            MC_store = msrc_flat.quantize_stacked(MC)
-        elif storage_dtype is not None:
-            MC_store = MC.astype(storage_dtype)
+        if storage_dtype is not None:
+            MC_store = score_consistency_stored(
+                invariant, D1, D2, A, affinityeps=affinityeps,
+                storage_dtype=storage_dtype)
         else:
-            MC_store = MC
+            M, C = score_pairwise_consistency(invariant, D1, D2, A,
+                                              affinityeps=affinityeps)
+            MC_store = jnp.concatenate([M, C], axis=0)
         mv = msrc_flat.make_stacked_matvec(MC_store, u0K.dtype)
 
         def one_init(u0):

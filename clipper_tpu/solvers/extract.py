@@ -52,6 +52,36 @@ def masked_dual_matvec(mv, keep):
     return mv_masked
 
 
+def _polish_bucket(nnz: int, m: int) -> int:
+    """Smallest power-of-2 top-k size covering the support (>= 64, <= m);
+    keeps the number of distinct _support_quadform compilations log(m)."""
+    k = 64
+    while k < nnz:
+        k *= 2
+    return min(k, m)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _support_quadform(Mf, u, keep, *, k: int):
+    """Full-precision u'(M + I)u on u's top-k support, ON DEVICE.
+
+    Mf is the original full-precision affinity, kept device-resident for
+    the lifetime of the peel loop — the per-peel polish is an O(k m) gather
+    plus an O(k^2) quadform, with no O(m^2) host transfer at any m. Exact
+    whenever nnz(u) <= k (M is nonnegative with zero diagonal; entries
+    beyond the support gather zero rows/values). Matches the pool
+    pipelines' f32-polish contract: the in-loop quantized objective has a
+    systematic positive bias (BENCH.md round 2), so omega rounding must use
+    a full-precision objective.
+    """
+    dtype = Mf.dtype
+    un = u.astype(dtype) * keep.astype(dtype)
+    un = un / jnp.maximum(jnp.linalg.norm(un), jnp.asarray(1e-12, dtype))
+    vals, idx = jax.lax.top_k(un, k)
+    Mk = Mf[idx][:, idx]
+    return vals @ (Mk @ vals) + 1.0  # + un'un of the unit iterate
+
+
 @functools.partial(jax.jit, static_argnames=("params", "probes",
                                              "power_steps"))
 def _extract_step(MC_store, keep, u0, *, params: Params, probes: int,
@@ -85,29 +115,38 @@ def extract_cliques(M, C, key, params: Optional[Params] = None, *,
         semantics identical to the pool engine), bf16, or None for f32.
 
     Returns cliques in extraction order (densest-first in practice). The
-    returned masks are disjoint. Quality contract: each peel is exactly one
-    reference-semantics MSRC solve on the vertex-induced subgraph of the
-    not-yet-extracted nodes.
+    returned masks are disjoint (each is intersected with the current
+    peel's support, so a clique can never claim an already-extracted
+    node). Quality contract: each peel is exactly one reference-semantics
+    MSRC solve on the vertex-induced subgraph of the not-yet-extracted
+    nodes, with omega rounding on a full-precision on-device objective.
+
+    Rounding.DSD is remapped to DSD_HEU with a warning: the per-peel
+    rounding is in-graph and exact DSD needs a host max-flow
+    (reference: src/clipper.cpp:294-300); use the Clipper facade for
+    exact DSD on a single cluster.
     """
     if params is None:
         params = Params()
-    rounding = (params.rounding if params.rounding != Rounding.DSD
-                else Rounding.DSD_HEU)
+    rounding = params.rounding
+    if rounding == Rounding.DSD:
+        import warnings
+        warnings.warn(
+            "extract_cliques cannot run exact (host-side) DSD rounding "
+            "per peel; remapping to Rounding.DSD_HEU — use the Clipper "
+            "facade for exact DSD", stacklevel=2)
+        rounding = Rounding.DSD_HEU
     m = M.shape[0]
-    MC = jnp.concatenate([jnp.asarray(M, jnp.float32),
-                          jnp.asarray(C, jnp.float32)], axis=0)
+    # full-precision affinity stays DEVICE-resident for the per-peel
+    # support polish (see _support_quadform) — no O(m^2) host traffic
+    Mf = jnp.asarray(M, jnp.float32)
+    MC = jnp.concatenate([Mf, jnp.asarray(C, jnp.float32)], axis=0)
     if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
         MC_store = msrc_flat.quantize_stacked(MC)
     elif storage_dtype is not None:
         MC_store = MC.astype(storage_dtype)
     else:
         MC_store = MC
-
-    # host copy of M for the exact per-peel support polish: the in-loop
-    # quantized objective has a systematic positive bias (BENCH.md round 2),
-    # so omega rounding uses the full-precision objective, matching the
-    # pool pipelines' f32-polish contract. Cost: one (m,) fetch per peel.
-    M_host = np.asarray(M, np.float64)
 
     keep = jnp.ones(m, dtype)
     keep_np = np.ones(m, bool)
@@ -123,11 +162,16 @@ def extract_cliques(M, C, key, params: Optional[Params] = None, *,
         s = np.nonzero(u_np > 0)[0]
         if s.size < min_size:
             break
-        un = u_np[s] / np.linalg.norm(u_np[s])
-        Fp = float(un @ M_host[np.ix_(s, s)] @ un + 1.0)  # u'(M + I)u
+        k = _polish_bucket(s.size, m)
+        Fp = float(_support_quadform(Mf, u, keep, k=k))
         mask_np = np.asarray(
             msrc.round_solution(jnp.asarray(u_np), jnp.asarray(Fp),
                                 rounding))
+        # clamp to the current support: omega = round(F) can exceed the
+        # support size for arbitrary-weight M (entries > 1), where the
+        # rounding's top-omega argsort would tie-break into zero-valued
+        # (possibly already-extracted) vertices
+        mask_np = mask_np & (u_np > 0)
         size = int(mask_np.sum())
         if size < min_size:
             break

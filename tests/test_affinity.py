@@ -139,3 +139,49 @@ def test_pointnormal_affinity_matches_pairwise():
                                atol=1e-12)
     # perfect rigid transform: all distinct pairs perfectly consistent
     assert (M[iu] > 0.99).all()
+
+
+def test_stored_build_bit_parity():
+    """score_consistency_stored == quantize(concat(score_pairwise_consistency))
+    bitwise, for int8 and bf16, symmetric and asymmetric invariants, with and
+    without m_true padding."""
+    from clipper_tpu.ops.affinity import (score_consistency_stored,
+                                          score_pairwise_consistency)
+    from clipper_tpu.solvers import msrc_flat
+
+    rng = np.random.default_rng(3)
+    n = 40
+    m = 48
+    D1 = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    D2 = jnp.asarray(rng.normal(size=(n, 3)) * 0.9, jnp.float32)
+    A = jnp.asarray(rng.integers(0, n, size=(m, 2)), jnp.int32)
+
+    class Asym:
+        """Deliberately exchange-asymmetric custom invariant."""
+        symmetric = False
+
+        def score_matrix(self, P1, P2):
+            d1 = jnp.sum((P1[:, None, :] - P1[None, :, :]) ** 2, -1)
+            d2 = jnp.sum((P2[:, None, :] - P2[None, :, :]) ** 2, -1)
+            return jnp.exp(-jnp.abs(d1 - 0.99 * d2))
+
+    from clipper_tpu.invariants.euclidean import EuclideanDistanceParams
+    eucl = ct.EuclideanDistance(EuclideanDistanceParams(sigma=0.3,
+                                                        epsilon=1.0))
+    for inv in (eucl, Asym()):
+        for m_true in (None, 31):
+            M, C = score_pairwise_consistency(inv, D1, D2, A,
+                                              affinityeps=1e-4, m_true=m_true)
+            MC = jnp.concatenate([M, C], axis=0)
+            ref_i8 = msrc_flat.quantize_stacked(MC)
+            got_i8 = score_consistency_stored(inv, D1, D2, A,
+                                              affinityeps=1e-4, m_true=m_true,
+                                              storage_dtype=jnp.int8)
+            np.testing.assert_array_equal(np.asarray(ref_i8),
+                                          np.asarray(got_i8))
+            got_bf = score_consistency_stored(inv, D1, D2, A,
+                                              affinityeps=1e-4, m_true=m_true,
+                                              storage_dtype=jnp.bfloat16)
+            np.testing.assert_array_equal(
+                np.asarray(MC.astype(jnp.bfloat16), np.float32),
+                np.asarray(got_bf, np.float32))

@@ -91,3 +91,39 @@ def test_scores_monotone_nonincreasing_on_equal_weight_cliques():
     sizes = [int(r.mask.sum()) for r in res]
     assert sizes[0] >= sizes[1]
     assert res[0].score >= res[1].score
+
+
+def test_dsd_rounding_remap_warns():
+    import pytest
+    rng = np.random.default_rng(5)
+    M, C, _ = planted_graph(rng, m=64, cliques=((10, 0.9),),
+                            noise_density=0.0)
+    with pytest.warns(UserWarning, match="DSD"):
+        extract.extract_cliques(M, C, jax.random.PRNGKey(0),
+                                ct.Params(rounding=ct.Rounding.DSD),
+                                max_cliques=1, min_size=3,
+                                storage_dtype=None)
+
+
+def test_mask_clamped_to_support_for_superunit_weights():
+    # arbitrary-weight M with entries > 1: omega = round(u'(M+I)u) exceeds
+    # the clique size, so without the support clamp the rounding would
+    # select zero-valued (even already-extracted) vertices
+    rng = np.random.default_rng(6)
+    m = 96
+    M = np.zeros((m, m))
+    cl1 = np.arange(0, 10)
+    cl2 = np.arange(20, 28)
+    for cl, w in ((cl1, 3.0), (cl2, 2.5)):
+        M[np.ix_(cl, cl)] = w
+        np.fill_diagonal(M[np.ix_(cl, cl)], 0.0)
+    C = (M > 0).astype(np.float64)
+    res = extract.extract_cliques(M, C, jax.random.PRNGKey(4), NZ,
+                                  max_cliques=4, min_size=3,
+                                  storage_dtype=None)
+    assert len(res) == 2
+    found = [set(np.nonzero(r.mask)[0].tolist()) for r in res]
+    assert found[0] == set(cl1.tolist())
+    assert found[1] == set(cl2.tolist())
+    all_nodes = [i for f in found for i in f]
+    assert len(all_nodes) == len(set(all_nodes))

@@ -108,3 +108,73 @@ def test_solve_default_is_reproducible():
     np.testing.assert_array_equal(np.asarray(a1.u), np.asarray(b1.u))
     np.testing.assert_array_equal(np.asarray(a2.u0), np.asarray(b2.u0))
     assert not np.array_equal(np.asarray(a1.u0), np.asarray(a2.u0))
+
+
+def _planted_sparse(m=1280, clique=24, w=0.9, seed=0, noise=12):
+    """Sparse upper-triangular (M, C) with one planted clique in tile 0."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(seed)
+    cl = np.arange(clique)
+    rows, cols, vals = [], [], []
+    for i in range(clique):
+        for j in range(i + 1, clique):
+            rows.append(cl[i]); cols.append(cl[j]); vals.append(w)
+    # a few random noise edges elsewhere (keeps most tiles empty)
+    for _ in range(noise):
+        i, j = sorted(rng.integers(clique, m, size=2).tolist())
+        if i != j:
+            rows.append(i); cols.append(j)
+            vals.append(float(rng.uniform(0.1, 0.3)))
+    M = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+    C = (M > 0).astype(np.float64)
+    return M, C, set(cl.tolist())
+
+
+def test_sparse_input_solves_without_densifying():
+    import scipy.sparse as sp
+    M, C, planted = _planted_sparse()
+    c = ct.Clipper(None, ct.Params(rounding=ct.Rounding.NONZERO))
+    c.set_sparse_matrix_data(M, C)
+    # the sparse product path is active: no dense (m, m) exists
+    assert c._M is None and c._C is None
+    assert c._bs is not None and c._bs_info["occupancy"] < 0.5
+    assert sp.issparse(c._M_sparse)
+    soln = c.solve()
+    found = set(np.nonzero(np.asarray(soln.mask))[0].tolist())
+    assert found == planted
+    assert float(soln.score) > 1 + 0.9 * (24 - 1) - 1  # u'(M+I)u of clique
+    # accessors still deliver the dense contract on demand
+    Mi = np.asarray(c.get_affinity_matrix())
+    assert Mi.shape == (1280, 1280) and Mi[0, 1] == pytest.approx(0.9)
+
+
+def test_sparse_input_multistart_and_dsd():
+    M, C, planted = _planted_sparse(seed=1)
+    c = ct.Clipper(None, ct.Params(rounding=ct.Rounding.DSD))
+    c.set_sparse_matrix_data(M, C)
+    soln = c.solve(multistart=3)
+    found = set(np.nonzero(np.asarray(soln.mask))[0].tolist())
+    assert found == planted
+
+
+def test_sparse_high_occupancy_falls_back_dense():
+    import scipy.sparse as sp
+    rng = np.random.default_rng(2)
+    m = 256
+    Md = np.triu(rng.uniform(0.1, 1.0, size=(m, m)), 1)
+    M = sp.csr_matrix(Md)  # fully dense pattern -> occupancy 1.0
+    C = (M > 0).astype(np.float64)
+    c = ct.Clipper(None, ct.Params())
+    c.set_sparse_matrix_data(M, C)
+    assert c._bs_info is None and c._M is not None  # dense path
+    np.testing.assert_allclose(np.asarray(c.get_affinity_matrix()),
+                               Md + Md.T + np.eye(m), rtol=1e-6)
+
+
+def test_multistart_with_explicit_u0_raises():
+    model, data = make_scene()
+    c = ct.Clipper(ct.EuclideanDistance(), ct.Params())
+    c.score_pairwise_consistency(model, data)
+    u0 = np.full(12, 0.5)
+    with pytest.raises(ValueError, match="multistart"):
+        c.solve(u0, multistart=4)
