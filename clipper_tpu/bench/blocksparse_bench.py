@@ -198,17 +198,22 @@ def main(argv=None):
     t_b, u_b = best_solve(solve_block, bs, u0)
 
     def quality(u):
-        # exact f32 support polish + omega rounding, host-side (untimed)
+        # exact f32 support polish + omega rounding, host-side (untimed);
+        # degenerate runs (empty support / no ground truth at extreme rho)
+        # report P=R=0 instead of crashing
         s = u > 0
+        gt_nonempty = [g for g in gts if g.size]
+        if not s.any() or not gt_nonempty:
+            return 0.0, 0.0
         un = u[s] / np.linalg.norm(u[s])
         F = float(un @ M[np.ix_(s, s)] @ un)
         omega = int(np.floor(F + 0.5)) + 1
         idx = np.argsort(-u)[:omega]
         Ain = A[idx]
-        gt_all = np.concatenate([g for g in gts if g.size])
+        gt_all = np.concatenate(gt_nonempty)
         p, _ = bdata.get_precision_recall(Ain, gt_all)
         r_best = max(bdata.get_precision_recall(Ain, g)[1]
-                     for g in gts if g.size)
+                     for g in gt_nonempty)
         return p, r_best
 
     for name, t, u in (("dense int8", t_d, u_d),

@@ -35,10 +35,12 @@ def _parse_args(argv):
     if len(pos) > 1:
         reps = int(pos[1])
     opts = dict(storage="int8", probes=16, power=4, rho=0.9,
-                meshes=None, build_chunk=512)
+                meshes=None, build_chunk=512, matvec_chunk=None)
     for a in argv:
         if a.startswith("--storage="):
             opts["storage"] = a.split("=", 1)[1]
+        elif a.startswith("--matvec-chunk="):
+            opts["matvec_chunk"] = int(a.split("=", 1)[1])
         elif a.startswith("--probes="):
             opts["probes"] = int(a.split("=", 1)[1])
         elif a.startswith("--power="):
@@ -118,7 +120,8 @@ def main(argv=None):
         pipeline = sharded.build_sharded_pipeline(
             inv, mesh, Params(), solver="flat", storage_dtype=storage,
             probes=opts["probes"], power_steps=opts["power"],
-            build_chunk=opts["build_chunk"])
+            build_chunk=opts["build_chunk"],
+            matvec_chunk=opts["matvec_chunk"])
 
         blk_bytes = 2 * m_pad * m_pad // (R * C) * itemsize
         print(f"mesh {shape}: m_pad={m_pad}, per-device [M;C] block = "

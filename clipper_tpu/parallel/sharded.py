@@ -255,7 +255,8 @@ def _block_quadform(invariant, P1, P2, A, u, m_true, mr: int, mc: int,
 
 
 def sharded_dual_matvec(MC_store, mr: int, mc: int, out_dtype,
-                        axis_names=("r", "c")):
+                        axis_names=("r", "c"),
+                        matvec_chunk: Optional[int] = None):
     """u -> (M u, C u) over block-sharded stacked [M; C] storage.
 
     MC_store is this device's (2 mr, mc) block in f64/f32/bf16/int8 (int8 =
@@ -264,26 +265,54 @@ def sharded_dual_matvec(MC_store, mr: int, mc: int, out_dtype,
     axis + two row-axis all_gathers per probe. Mirrors
     msrc_flat.make_stacked_matvec so the sharded flat solver runs the same
     arithmetic as the dense one, with collectives inserted.
+
+    matvec_chunk: process the block ``chunk`` rows at a time inside a
+    fori_loop (slice int8 -> dequantize -> matmul -> write). On TPU the
+    int8->bf16 dequantization fuses into the matmul, so leave this None;
+    on the CPU backend (virtual-mesh validation runs) XLA MATERIALIZES the
+    converted copy of the whole block — 4x the stored bytes, an OOM at
+    m >= 100k — and chunking caps the live converted bytes at
+    (chunk, mc). Arithmetic is identical (same per-row dot products).
     """
     r_ax, c_ax = axis_names
 
     if MC_store.dtype == jnp.int8:
         inv_scale = jnp.asarray(1.0 / msrc_flat._INT8_SCALE, out_dtype)
 
-        def local(u_c):
+        def local_rows(rows, u_c):
             y = jax.lax.dot_general(
-                MC_store.astype(jnp.bfloat16), u_c.astype(jnp.bfloat16),
+                rows.astype(jnp.bfloat16), u_c.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(out_dtype)
             return y * inv_scale
     else:
         acc = out_dtype if MC_store.dtype == out_dtype else jnp.float32
 
-        def local(u_c):
+        def local_rows(rows, u_c):
             return jax.lax.dot_general(
-                MC_store, u_c.astype(MC_store.dtype),
+                rows, u_c.astype(rows.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=acc).astype(out_dtype)
+
+    if matvec_chunk is None:
+        def local(u_c):
+            return local_rows(MC_store, u_c)
+    else:
+        chunk = _divisor_at_most(2 * mr, matvec_chunk)
+        nchunks = 2 * mr // chunk
+
+        def local(u_c):
+            out_shape = ((2 * mr,) if u_c.ndim == 1
+                         else (2 * mr, u_c.shape[1]))
+            buf = jnp.zeros(out_shape, out_dtype)
+
+            def body(kk, buf):
+                rows = jax.lax.dynamic_slice_in_dim(MC_store, kk * chunk,
+                                                    chunk)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, local_rows(rows, u_c), kk * chunk, axis=0)
+
+            return jax.lax.fori_loop(0, nchunks, body, buf)
 
     def mv(u):
         ci = jax.lax.axis_index(c_ax)
@@ -304,7 +333,8 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
                            probes: int = 1,
                            power_steps: int = 0,
                            support: int = 512,
-                           build_chunk: int = 512):
+                           build_chunk: int = 512,
+                           matvec_chunk: Optional[int] = None):
     """Compile a full sharded pipeline: endpoints -> affinity blocks -> solve.
 
     Returns a jitted function (P1, P2, A, u0, m_true) -> (u, F, ifinal, mask)
@@ -353,7 +383,7 @@ def build_sharded_pipeline(invariant: PairwiseInvariant, mesh: Mesh,
                 invariant, P1, P2, A, m_true, mr, mc, affinityeps,
                 storage_dtype, build_chunk, (r_ax, c_ax))
         dual = sharded_dual_matvec(MC_store, mr, mc, P1.dtype,
-                                   (r_ax, c_ax))
+                                   (r_ax, c_ax), matvec_chunk=matvec_chunk)
         if power_steps:
             u0 = msrc_flat.power_init(dual, u0, power_steps)
         if probes > 1:
@@ -416,7 +446,8 @@ def solve_sharded(invariant: PairwiseInvariant, D1, D2, A, u0,
                   *, affinityeps: float = 1e-4, solver: str = "flat",
                   storage_dtype=None, probes: int = 1,
                   power_steps: int = 0, support: int = 512,
-                  build_chunk: int = 512) -> Solution:
+                  build_chunk: int = 512,
+                  matvec_chunk: Optional[int] = None) -> Solution:
     """End-to-end sharded solve of one large problem.
 
     D1/D2 are (n, d) row-major datasets; A is (m, 2); u0 is (m,).
@@ -443,6 +474,7 @@ def solve_sharded(invariant: PairwiseInvariant, D1, D2, A, u0,
                                       probes=probes,
                                       power_steps=power_steps,
                                       support=support,
-                                      build_chunk=build_chunk)
+                                      build_chunk=build_chunk,
+                                      matvec_chunk=matvec_chunk)
     u, F, ifinal, mask = pipeline(P1, P2, A_pad, u0p, m)
     return Solution(ifinal=ifinal, mask=mask[:m], u0=u0, u=u[:m], score=F)

@@ -66,14 +66,14 @@ class Params:
     see module docstring.
     """
 
-    verbose: bool = False
+    verbose: bool = False             # live residual prints (chunked driver)
     max_iters: int = 2000
     acceleration_interval: int = 10
     acceleration_lookback: int = 10
     eps_abs: float = 1e-3
     eps_rel: float = 1e-3
     eps_infeas: float = 1e-7          # vacuous for MSRC-SDR (API parity)
-    time_limit_secs: float = 0.0      # unused inside jit (API parity)
+    time_limit_secs: float = 0.0      # > 0: interruptible chunked driver
     rho: float = 2.0                  # initial ADMM penalty
     alpha: float = 1.6                # over-relaxation in (1, 2)
     adaptive_rho: bool = True         # residual balancing
@@ -139,8 +139,9 @@ class _State(NamedTuple):
     hist: jnp.ndarray   # valid history depth (reset on rho change)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _admm(M: jnp.ndarray, C: jnp.ndarray, params: Params):
+def _admm_pieces(M: jnp.ndarray, C: jnp.ndarray, params: Params):
+    """Build (init_state, body) for the ADMM loop (shared by the one-shot
+    jitted solve and the host-chunked driver that honors time_limit)."""
     n = M.shape[0]
     dtype = M.dtype
     alpha = jnp.asarray(params.alpha, dtype)
@@ -247,9 +248,6 @@ def _admm(M: jnp.ndarray, C: jnp.ndarray, params: Params):
         return _State(s.it + 1, Zn, Un, rho, r_prim, r_dual, done,
                       dF, dG, f, g, hist)
 
-    def cond(s: _State):
-        return (~s.done) & (s.it < params.max_iters)
-
     Z0 = jnp.eye(n, dtype=dtype) / n
     Lb = max(L, 1) if use_aa else 1
     init = _State(jnp.int32(0), Z0, jnp.zeros_like(M),
@@ -261,8 +259,13 @@ def _admm(M: jnp.ndarray, C: jnp.ndarray, params: Params):
                   jnp.zeros(d if use_aa else 1, dtype),
                   jnp.zeros(d if use_aa else 1, dtype),
                   jnp.int32(0))
-    s = jax.lax.while_loop(cond, body, init)
+    return init, body
 
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _admm_finalize(M: jnp.ndarray, C: jnp.ndarray, s: _State,
+                   params: Params):
+    allowed = C != 0
     X = s.Z  # the PSD/trace-feasible iterate
     lam, Q = jnp.linalg.eigh(X)
     evec1 = Q[:, -1]
@@ -276,6 +279,41 @@ def _admm(M: jnp.ndarray, C: jnp.ndarray, params: Params):
     D = jnp.where(allowed, M + jnp.maximum(T - M, 0.0), T)
     dobj = jnp.linalg.eigvalsh(D)[-1]
     return X, lam, evec1, pobj, dobj, s.it
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _admm(M: jnp.ndarray, C: jnp.ndarray, params: Params):
+    init, body = _admm_pieces(M, C, params)
+
+    def cond(s: _State):
+        return (~s.done) & (s.it < params.max_iters)
+
+    s = jax.lax.while_loop(cond, body, init)
+    return _admm_finalize(M, C, s, params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _admm_init(M: jnp.ndarray, C: jnp.ndarray, params: Params) -> _State:
+    init, _ = _admm_pieces(M, C, params)
+    return init
+
+
+@functools.partial(jax.jit, static_argnames=("params", "chunk"))
+def _admm_chunk(M: jnp.ndarray, C: jnp.ndarray, s: _State, params: Params,
+                chunk: int) -> _State:
+    """Advance the ADMM by up to ``chunk`` iterations (or to convergence /
+    max_iters). Identical per-iteration arithmetic to :func:`_admm` — the
+    trajectory is the same sequence of _State's, just observable from the
+    host between chunks, which is what lets solve() honor time_limit_secs
+    and verbose (the reference's SCS honors both natively,
+    reference: include/clipper/sdp.h:41-44)."""
+    _, body = _admm_pieces(M, C, params)
+    target = s.it + chunk
+
+    def cond(st: _State):
+        return (~st.done) & (st.it < params.max_iters) & (st.it < target)
+
+    return jax.lax.while_loop(cond, body, s)
 
 
 def solve_batched(Ms, Cs, params: Params = Params()) -> List[Solution]:
@@ -316,7 +354,30 @@ def solve(M, C, params: Params = Params()) -> Solution:
     t0 = time.perf_counter()
     M = jnp.asarray(M)
     C = jnp.asarray(C, M.dtype)
-    X, lam, evec1, pobj, dobj, iters = _admm(M, C, params)
+    if params.time_limit_secs > 0 or params.verbose:
+        # host-chunked driver: same per-iteration arithmetic, observable
+        # between chunks — a long ADMM run is interruptible at chunk
+        # granularity and verbose prints live residuals
+        chunk = max(int(params.acceleration_interval) * 5, 25)
+        s = _admm_init(M, C, params)
+        while True:
+            s = _admm_chunk(M, C, s, params, chunk)
+            it = int(s.it)   # host sync (fetches the state)
+            if params.verbose:
+                print(f"sdp: iter {it:5d}  r_prim {float(s.r_prim):.3e}  "
+                      f"r_dual {float(s.r_dual):.3e}  "
+                      f"rho {float(s.rho):.2e}", flush=True)
+            if bool(np.asarray(s.done)) or it >= params.max_iters:
+                break
+            if (params.time_limit_secs > 0
+                    and time.perf_counter() - t0 > params.time_limit_secs):
+                if params.verbose:
+                    print(f"sdp: time limit {params.time_limit_secs}s "
+                          f"reached at iter {it}", flush=True)
+                break
+        X, lam, evec1, pobj, dobj, iters = _admm_finalize(M, C, s, params)
+    else:
+        X, lam, evec1, pobj, dobj, iters = _admm(M, C, params)
 
     X = np.asarray(X)
     t1 = time.perf_counter()

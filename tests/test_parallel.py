@@ -267,3 +267,44 @@ def test_sharded_support_overflow_exact_fallback():
     assert len(sel & set(range(30))) >= 26, sel
     assert len(sel - set(range(30))) <= 3, sel
     assert 20 <= float(soln.score) <= 35
+
+
+@pytest.mark.parametrize("storage", [None, jnp.bfloat16, jnp.int8])
+def test_sharded_chunked_matvec_matches_unchunked(storage):
+    """matvec_chunk slices rows before dequantizing (CPU-mesh memory cap);
+    every output element's dot product reads identical data, so (Mu, Cu)
+    must match the unchunked matvec exactly for f64/f32 storage and to
+    float-associativity tolerance for reduced storage."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(11)
+    D1, D2, A = make_problem(rng, m=96)
+    u = jnp.asarray(rng.uniform(size=96))
+
+    mesh = sharded.make_mesh((2, 4))
+    m = 96
+    mr, mc = m // 2, m // 4
+    A_j = jnp.asarray(A, jnp.int32)
+    P1 = jnp.asarray(D1)[A_j[:, 0]]
+    P2 = jnp.asarray(D2)[A_j[:, 1]]
+
+    def run(chunk):
+        def body(P1, P2, A, u):
+            MC = sharded._affinity_block_stored(
+                INV, P1, P2, A, m, mr, mc, 1e-4,
+                storage or P1.dtype, 32)
+            mv = sharded.sharded_dual_matvec(MC, mr, mc, P1.dtype,
+                                             matvec_chunk=chunk)
+            return mv(u)
+
+        f = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P()), check_vma=False))
+        return f(P1, P2, A_j, u)
+
+    Mu0, Cu0 = run(None)
+    Mu1, Cu1 = run(16)
+    np.testing.assert_allclose(np.asarray(Mu1), np.asarray(Mu0),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Cu1), np.asarray(Cu0),
+                               rtol=1e-6, atol=1e-8)

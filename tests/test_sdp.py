@@ -152,3 +152,36 @@ def test_sdr_aa_and_adaptive_rho_match_plain():
     assert set(accel.nodes) == set(plain.nodes) == set(clique)
     assert abs(accel.pobj - plain.pobj) < 1e-4
     assert abs(accel.gap) < 1e-3
+
+
+def test_sdr_chunked_driver_matches_oneshot():
+    """verbose/time_limit uses the host-chunked driver — identical
+    per-iteration arithmetic, so iters/pobj/dobj/nodes must match the
+    one-shot jitted run exactly."""
+    M = golden_matrix()
+    C = (M > 0).astype(float)
+    ref = sdp.solve(M, C)
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        chk = sdp.solve(M, C, sdp.Params(verbose=True,
+                                         time_limit_secs=3600.0))
+    assert chk.iters == ref.iters
+    assert chk.nodes == ref.nodes
+    assert chk.pobj == pytest.approx(ref.pobj, abs=1e-12)
+    assert chk.dobj == pytest.approx(ref.dobj, abs=1e-12)
+    assert "r_prim" in buf.getvalue()
+
+
+def test_sdr_time_limit_interrupts():
+    """A zero-second budget must stop after the first chunk, far short of
+    max_iters, and still return a usable (feasible) iterate."""
+    M = golden_matrix()
+    C = (M > 0).astype(float)
+    full = sdp.solve(M, C, sdp.Params(eps_abs=1e-10, eps_rel=1e-10,
+                                      max_iters=2000))
+    lim = sdp.solve(M, C, sdp.Params(eps_abs=1e-10, eps_rel=1e-10,
+                                     max_iters=2000, time_limit_secs=1e-9))
+    assert lim.iters < full.iters
+    assert lim.iters <= 60  # one chunk (interval*5 = 50) + slack
+    assert abs(np.trace(lim.X) - 1.0) < 1e-6  # still spectrahedron-feasible
