@@ -1,0 +1,273 @@
+"""Symmetric-triangle tile storage: 2x single-chip capacity for huge problems.
+
+M and C are symmetric; dense stacked [M; C] storage (msrc_flat) keeps both
+triangles, so the per-chip HBM ceiling for a single problem is
+2 m^2 bytes (int8) — m = 81,920 on a 16 GB v5e. This module stores only the
+upper-triangle TILES (row-block <= col-block): m^2 + m t bytes, lifting the
+single-chip ceiling past m = 114,688 — a problem size whose dense f64
+affinity matrix alone would need 105 GB on the reference's single node
+(reference: src/clipper.cpp:29 allocates the full m x m before
+sparsification; the published operating point is m = 1000).
+
+Layout: nt = m / t row/column blocks; tiles are ordered diagonal-first
+(k = 0..nt-1 is block (k, k)), then strictly-upper row-major. Each stored
+tile is the stacked (2t, t) [M-tile; C-tile] pair (int8 = quantize_stacked
+scaling), so M and C ride one read.
+
+The dual matvec applies each off-diagonal tile twice — forward
+(y_rows += T @ u_cols) and transposed (y_cols += T' @ u_rows), both
+MXU batched matmuls over the tile list — processed ``mv_chunk`` tiles per
+fori_loop step so the (chunk, 2t, K) matmul products never materialize at
+full T. Per-tick HBM traffic is ~2x the stored bytes (each tile read for
+both directions) — the same bytes/tick as dense storage at equal m, i.e.
+the triangle trades no speed for half the memory; a one-read-two-matmul
+Pallas kernel could reclaim the factor (see BENCH.md round-3 notes).
+
+Everything (build included) runs on device under jit with static shapes;
+the build writes tiles directly in the storage dtype, chunk of tiles at a
+time (the same never-materialize-full-precision discipline as
+parallel/sharded._affinity_block_stored).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from clipper_tpu.invariants.base import PairwiseInvariant
+from clipper_tpu.solvers import msrc_flat
+
+
+def tile_coords(nt: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static (rows, cols) block coordinates: nt diagonal tiles first,
+    then the strictly-upper triangle row-major. len = nt (nt + 1) / 2."""
+    rows = [k for k in range(nt)]
+    cols = [k for k in range(nt)]
+    for r in range(nt):
+        for c in range(r + 1, nt):
+            rows.append(r)
+            cols.append(c)
+    return np.asarray(rows, np.int32), np.asarray(cols, np.int32)
+
+
+def _divisor_at_most(n: int, k: int) -> int:
+    k = max(1, min(n, k))
+    while n % k:
+        k -= 1
+    return k
+
+
+def build_symtiles(invariant: PairwiseInvariant, P1, P2, A, m_true,
+                   tile: int = 128, affinityeps: float = 1e-4,
+                   storage_dtype=jnp.int8, build_chunk: int = 256):
+    """(T, 2t, t) stacked upper-triangle tiles, built on device in storage
+    precision, ``build_chunk`` tiles per step.
+
+    P1/P2: (m_pad, d) gathered endpoints (m_pad a multiple of tile; pad
+    with zeros — padded entries are masked inert exactly as
+    parallel.sharded.pad_problem). A: (m_pad, 2) associations (pad -1).
+    Requires a symmetric invariant (both built-ins); the full matrix it
+    represents is tile(r,c) + tile(c,r)^T with the diagonal tiles' strict
+    lower halves ignored (they are masked to the symmetric value anyway).
+
+    Reference semantics: masks from src/clipper.cpp:35-55; C = pattern(M)
+    from src/clipper.cpp:63-64.
+    """
+    m_pad, d = P1.shape
+    t = int(tile)
+    assert m_pad % t == 0, (m_pad, t)
+    nt = m_pad // t
+    rows_np, cols_np = tile_coords(nt)
+    T = len(rows_np)
+    rows = jnp.asarray(rows_np)
+    cols = jnp.asarray(cols_np)
+
+    P1b = P1.reshape(nt, t, d)
+    P2b = P2.reshape(nt, t, d)
+    Ab = A.reshape(nt, t, 2)
+    is_int8 = jnp.dtype(storage_dtype) == jnp.int8
+
+    def one_tile(r, c):
+        P1r, P1c = P1b[r], P1b[c]
+        P2r, P2c = P2b[r], P2b[c]
+        Ar, Ac = Ab[r], Ab[c]
+        scores = invariant.score_block(P1r, P1c, P2r, P2c)
+        distinct = ~((Ar[:, 0, None] == Ac[None, :, 0])
+                     | (Ar[:, 1, None] == Ac[None, :, 1]))
+        gr = r * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        gc = c * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        keep = (distinct & (gr != gc) & (gr < m_true) & (gc < m_true)
+                & (scores > affinityeps))
+        if is_int8:
+            from clipper_tpu.solvers.msrc_flat import _INT8_SCALE
+            Mq = jnp.clip(jnp.round(jnp.where(keep, scores, 0.0)
+                                    * _INT8_SCALE), 0, 127).astype(jnp.int8)
+            Cq = jnp.where(keep, jnp.int8(127), jnp.int8(0))
+        else:
+            Mq = jnp.where(keep, scores, 0.0).astype(storage_dtype)
+            Cq = keep.astype(storage_dtype)
+        return jnp.concatenate([Mq, Cq], axis=0)       # (2t, t)
+
+    chunk = _divisor_at_most(T, build_chunk)
+    vtile = jax.vmap(one_tile)
+    buf = jnp.zeros((T, 2 * t, t), storage_dtype)
+
+    def body(kk, buf):
+        s = kk * chunk
+        r = jax.lax.dynamic_slice_in_dim(rows, s, chunk)
+        c = jax.lax.dynamic_slice_in_dim(cols, s, chunk)
+        return jax.lax.dynamic_update_slice(buf, vtile(r, c), (s, 0, 0))
+
+    return jax.lax.fori_loop(0, T // chunk, body, buf)
+
+
+def make_sym_dual_matvec(tiles, nt: int, out_dtype, mv_chunk: int = 4096):
+    """u -> (M u, C u) over upper-triangle tile storage.
+
+    Accepts (m,) vectors or (m, K) multiprobe candidates. Forward and
+    transposed tile applications are MXU-batched over ``mv_chunk`` tiles
+    per fori_loop step; diagonal tiles (the first nt) skip the transpose
+    (their strict-lower content mirrors in-tile).
+    """
+    T, two_t, t = tiles.shape
+    m = nt * t
+    rows_np, cols_np = tile_coords(nt)
+    rows = jnp.asarray(rows_np)
+    cols = jnp.asarray(cols_np)
+
+    if tiles.dtype == jnp.int8:
+        scale = jnp.asarray(1.0 / msrc_flat._INT8_SCALE, jnp.float32)
+
+        def prep(tl):
+            return tl.astype(jnp.bfloat16)
+
+        def cast_u(x):
+            return x.astype(jnp.bfloat16)
+    else:
+        scale = jnp.asarray(1.0, jnp.float32)
+
+        def prep(tl):
+            return tl
+
+        def cast_u(x):
+            return x.astype(tiles.dtype)
+
+    chunk = _divisor_at_most(T, mv_chunk)
+    nchunks = T // chunk
+
+    def mv(u):
+        vec = u.ndim == 1
+        U = u[:, None] if vec else u
+        K = U.shape[1]
+        Ub = cast_u(U.reshape(nt, t, K))
+
+        def body(kk, acc):
+            s = kk * chunk
+            tl = prep(jax.lax.dynamic_slice_in_dim(tiles, s, chunk))
+            r = jax.lax.dynamic_slice_in_dim(rows, s, chunk)
+            c = jax.lax.dynamic_slice_in_dim(cols, s, chunk)
+            u_c = Ub[c]                                   # (chunk, t, K)
+            u_r = Ub[r]
+            # forward: (chunk, 2t, t) @ (chunk, t, K) -> (chunk, 2t, K)
+            P = jax.lax.dot_general(
+                tl, u_c, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            acc = acc.at[r].add(P)
+            # transposed application T' @ u_r for both halves in one dot:
+            # view the stacked tile as (chunk, 2, t, t) and contract its
+            # ROW axis with u_r -> (chunk, 2, t, K). Strictly-upper tiles
+            # only (diagonal tiles — the first nt in the ordering — hold
+            # the full symmetric tile already); masked by `off`.
+            off = (r != c).astype(jnp.float32)[:, None, None]
+            tl4 = tl.reshape(chunk, 2, t, t)
+            Q = jax.lax.dot_general(
+                tl4, u_r, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # (chunk, 2, t, K)
+            return acc.at[c].add(Q.reshape(chunk, 2 * t, K) * off)
+
+        acc = jax.lax.fori_loop(
+            0, nchunks, body, jnp.zeros((nt, 2 * t, K), jnp.float32))
+        y = (acc * scale).astype(out_dtype)
+        Mu = y[:, :t].reshape(m, K)
+        Cu = y[:, t:].reshape(m, K)
+        return (Mu[:, 0], Cu[:, 0]) if vec else (Mu, Cu)
+
+    return mv
+
+
+def solve_single(invariant: PairwiseInvariant, D1, D2, A, u0,
+                 params=None, *, tile: int = 128, affinityeps: float = 1e-4,
+                 storage_dtype=jnp.int8, probes: int = 1,
+                 power_steps: int = 0, support: int = 512,
+                 build_chunk: int = 256, mv_chunk: int = 4096):
+    """End-to-end single-problem solve over symmetric-triangle storage.
+
+    The capacity configuration for one chip: build tiles on device in
+    storage precision, run the flat solver (optionally multiprobe), polish
+    the objective in full precision on u's top-``support`` entries
+    (pool.support_objective — exact for converged supports), return
+    (u, F, ifinal). Memory: m^2 + m t storage bytes + O(mv_chunk t^2)
+    transient — m = 114,688 int8 fits a 16 GB v5e.
+    """
+    from clipper_tpu.types import Params
+    if params is None:
+        params = Params()
+
+    A = jnp.asarray(A, jnp.int32)
+    m = A.shape[0]
+    t = int(tile)
+    m_pad = -(-m // t) * t
+    P1 = jnp.asarray(D1)[A[:, 0]]
+    P2 = jnp.asarray(D2)[A[:, 1]]
+    u0 = jnp.asarray(u0, P1.dtype)
+    pad = m_pad - m
+    if pad:
+        P1 = jnp.pad(P1, ((0, pad), (0, 0)))
+        P2 = jnp.pad(P2, ((0, pad), (0, 0)))
+        u0 = jnp.pad(u0, (0, pad))
+        A = jnp.pad(A, ((0, pad), (0, 0)), constant_values=-1)
+    nt = m_pad // t
+
+    u, F, ifinal = _solve_padded(
+        invariant, P1, P2, A, u0, jnp.int32(m), params=params, tile=t,
+        affinityeps=affinityeps,
+        storage_dtype=jnp.dtype(storage_dtype).name,
+        probes=probes, power_steps=power_steps, support=support,
+        build_chunk=build_chunk, mv_chunk=mv_chunk)
+    return u[:m], F, ifinal
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "invariant", "params", "tile", "affinityeps", "storage_dtype", "probes",
+    "power_steps", "support", "build_chunk", "mv_chunk"))
+def _solve_padded(invariant, P1, P2, A, u0, m_true, *, params, tile,
+                  affinityeps, storage_dtype, probes, power_steps, support,
+                  build_chunk, mv_chunk):
+    from clipper_tpu.parallel.pool import support_objective
+
+    storage = jnp.dtype(storage_dtype)
+    m_pad = P1.shape[0]
+    nt = m_pad // tile
+    tiles = build_symtiles(invariant, P1, P2, A, m_true, tile=tile,
+                           affinityeps=affinityeps, storage_dtype=storage,
+                           build_chunk=build_chunk)
+    mv = make_sym_dual_matvec(tiles, nt, u0.dtype, mv_chunk=mv_chunk)
+    if power_steps:
+        u0 = msrc_flat.power_init(mv, u0, power_steps)
+    if probes > 1:
+        u, F, ifinal = msrc_flat.flat_solve_single_multiprobe(
+            mv, u0, params, probes=probes)
+    else:
+        u, F, ifinal = msrc_flat.flat_solve_single(mv, u0, params)
+    # full-precision objective polish (omega = round(F) needs accuracy
+    # well under 0.5 — int8 in-loop F carries a systematic positive bias,
+    # BENCH.md round 2)
+    k = min(support, m_pad)
+    F = support_objective(invariant, P1, P2, A, u,
+                          affinityeps=affinityeps, k=k)
+    return u, F, ifinal
