@@ -200,6 +200,119 @@ def make_sym_dual_matvec(tiles, nt: int, out_dtype, mv_chunk: int = 4096):
     return mv
 
 
+def make_sym_dual_matvec_pallas(tiles, nt: int, out_dtype,
+                                tiles_block: int = 8):
+    """One-read Pallas symmetric dual matvec: u -> (M u, C u).
+
+    The XLA tile matvec (:func:`make_sym_dual_matvec`) reads every
+    off-diagonal tile TWICE per tick — once forward, once for the
+    transposed application — because XLA materializes each dot_general's
+    operand stream independently. This kernel streams each (2t, t) int8
+    tile HBM -> VMEM exactly ONCE and issues both MXU contractions from
+    the resident copy, so per-tick HBM traffic is the stored triangle
+    (~m^2 int8 bytes): 2x less than the dense stacked storage at equal m
+    AND 2x less than the XLA triangle matvec. The replicated u blocks and
+    the (nt, K, 2t) f32 accumulator live in VMEM for the whole grid
+    (K <= 8 fits comfortably); tile coordinates ride SMEM per step.
+
+    Layout choices (TPU tiling constraints, pallas_guide.md):
+      * u is laid out (nt, K, t) so a tile's u-block slice is (K, t) with
+        the 128-lane minor dim = t — no lane-padding blowup for K = 1;
+      * the accumulator is (nt, K, 2t); forward adds at block r, the
+        transposed halves add at block c's [0:t] / [t:2t] lanes;
+      * both contractions contract a 128-multiple dim on the MXU
+        (forward: u_c (K,t) x tile (2t,t) over t; transposed:
+        u_r (K,t) x half (t,t) over the tile's ROW axis).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, two_t, t = tiles.shape
+    m = nt * t
+    TB = int(tiles_block)
+    T_pad = -(-T // TB) * TB
+    rows_np, cols_np = tile_coords(nt)
+    coords_np = np.zeros((T_pad, 2), np.int32)
+    coords_np[:T, 0] = rows_np
+    coords_np[:T, 1] = cols_np
+    # padding tiles are zero and map to the diagonal slot (0, 0): their
+    # forward product adds 0 and the transpose is masked by r == c
+    coords = jnp.asarray(coords_np)
+    if T_pad != T:
+        tiles = jnp.pad(tiles, ((0, T_pad - T), (0, 0), (0, 0)))
+
+    is_int8 = tiles.dtype == jnp.int8
+    scale = jnp.asarray(1.0 / msrc_flat._INT8_SCALE if is_int8 else 1.0,
+                        jnp.float32)
+    cdt = jnp.bfloat16 if is_int8 else tiles.dtype
+
+    def kernel(coords_ref, tiles_ref, u_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        for k in range(TB):
+            r = coords_ref[k, 0]
+            c = coords_ref[k, 1]
+            tile_k = tiles_ref[k].astype(cdt)             # (2t, t)
+            u_c = u_ref[c]                                # (K, t)
+            # forward: y[r] += [M; C]-tile applied to u's block c
+            P = jax.lax.dot_general(
+                u_c, tile_k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (K, 2t)
+            out_ref[r] += P
+
+            @pl.when(r != c)
+            def _():
+                # transposed application from the SAME resident tile
+                u_r = u_ref[r]                            # (K, t)
+                QM = jax.lax.dot_general(
+                    u_r, tile_k[:t],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (K, t)
+                QC = jax.lax.dot_general(
+                    u_r, tile_k[t:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out_ref[c, :, :t] += QM
+                out_ref[c, :, t:] += QC
+
+    def mv(u):
+        vec = u.ndim == 1
+        U = u[:, None] if vec else u
+        K = U.shape[1]
+        Ub = U.T.reshape(K, nt, t).transpose(1, 0, 2).astype(cdt)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(T_pad // TB,),
+            in_specs=[
+                pl.BlockSpec((TB, 2), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TB, two_t, t), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nt, K, t), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nt, K, 2 * t), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nt, K, 2 * t), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * m * m * K,
+                bytes_accessed=T_pad * two_t * t * tiles.dtype.itemsize,
+                transcendentals=0),
+            interpret=jax.default_backend() != "tpu",
+        )(coords, tiles, Ub)
+
+        y = (out * scale).astype(out_dtype)               # (nt, K, 2t)
+        Mu = y[:, :, :t].transpose(0, 2, 1).reshape(m, K)
+        Cu = y[:, :, t:].transpose(0, 2, 1).reshape(m, K)
+        return (Mu[:, 0], Cu[:, 0]) if vec else (Mu, Cu)
+
+    return mv
+
+
 def solve_single(invariant: PairwiseInvariant, D1, D2, A, u0,
                  params=None, *, tile: int = 128, affinityeps: float = 1e-4,
                  storage_dtype=jnp.int8, probes: int = 1,

@@ -224,10 +224,16 @@ def _admm_pieces(M: jnp.ndarray, C: jnp.ndarray, params: Params):
 
         r_prim = jnp.linalg.norm(X - Zn)
         r_dual = s.rho * jnp.linalg.norm(Zn - s.Z)
-        eps_p = (params.eps_abs * n
+        # SCS-style scaling: absolute term grows with sqrt(#entries of the
+        # iterate) = n, NOT with n^2-ish n — for unit-trace X the Frobenius
+        # norm is O(1), so an n-proportional absolute term would dominate
+        # the test at large n and declare instant convergence (caught at
+        # m=1024: 2 "converged" iterations with a gap of 51 — see BENCH.md)
+        sqn = np.sqrt(n)
+        eps_p = (params.eps_abs * sqn
                  + params.eps_rel * jnp.maximum(jnp.linalg.norm(X),
                                                 jnp.linalg.norm(Zn)))
-        eps_d = (params.eps_abs * n
+        eps_d = (params.eps_abs * sqn
                  + params.eps_rel * jnp.linalg.norm(s.rho * Un))
         done = (r_prim < eps_p) & (r_dual < eps_d)
 

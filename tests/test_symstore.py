@@ -124,3 +124,32 @@ def test_sym_solve_single_matches_dense_pipeline():
     iou = len(a & b) / max(1, len(a | b))
     assert iou >= 0.9, (sorted(a), sorted(b))
     assert abs(float(F) - float(F_d)) / float(F_d) < 0.05
+
+
+@pytest.mark.parametrize("storage", [None, jnp.int8])
+@pytest.mark.parametrize("K", [1, 4])
+def test_sym_matvec_pallas_matches_xla(storage, K):
+    """The one-read Pallas kernel must agree with the XLA tile matvec
+    (interpret mode off-TPU; the real-chip run is benched in BENCH.md)."""
+    rng = np.random.default_rng(7)
+    D1, D2, A = make_problem(rng, m=96)
+    m, t = 96, 32
+    nt = m // t
+    P1 = D1[A[:, 0]].astype(jnp.float32)
+    P2 = D2[A[:, 1]].astype(jnp.float32)
+    sd = storage or jnp.float32
+
+    tiles = jax.jit(lambda P1, P2, A: symstore.build_symtiles(
+        INV, P1, P2, A, m, tile=t, storage_dtype=sd))(P1, P2, A)
+    mv_x = symstore.make_sym_dual_matvec(tiles, nt, jnp.float32, mv_chunk=2)
+    mv_p = symstore.make_sym_dual_matvec_pallas(tiles, nt, jnp.float32,
+                                                tiles_block=4)
+
+    u = jnp.asarray(rng.uniform(size=(m, K)) if K > 1
+                    else rng.uniform(size=m), jnp.float32)
+    Mu_x, Cu_x = mv_x(u)
+    Mu_p, Cu_p = mv_p(u)
+    np.testing.assert_allclose(np.asarray(Mu_p), np.asarray(Mu_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Cu_p), np.asarray(Cu_x),
+                               rtol=2e-5, atol=2e-5)
