@@ -85,29 +85,30 @@ def main(argv=None):
     print(f"tile build: {time.perf_counter() - t0:.2f} s (incl. compile)",
           flush=True)
 
-    # --- matvec microbench ---
-    def bench_mv(name, mv, K):
+    # --- matvec microbench (tiles passed as a jit ARGUMENT — the axon
+    # remote compiler rejects big closure constants, CLAUDE.md) ---
+    def bench_mv(name, make_mv, K):
         u = (jnp.tile(u0[:, None], (1, K)) if K > 1 else u0)
         u = jnp.pad(u, ((0, pad),) + (((0, 0),) if K > 1 else ()))
-        f = jax.jit(lambda u: mv(u))
-        Mu, Cu = f(u)
+        f = jax.jit(lambda tiles, u: make_mv(tiles)(u))
+        Mu, Cu = f(tiles, u)
         np.asarray(Mu[:1])
         reps = 10
         t0 = time.perf_counter()
         for _ in range(reps):
-            Mu, Cu = f(u)
+            Mu, Cu = f(tiles, u)
         np.asarray(Mu[:1])
         dt = (time.perf_counter() - t0) / reps
-        gb = None
         print(f"{name:28s} K={K}: {dt * 1e3:8.2f} ms/tick", flush=True)
         return dt
 
-    mv_x = symstore.make_sym_dual_matvec(tiles, nt, jnp.float32)
-    mv_p = symstore.make_sym_dual_matvec_pallas(tiles, nt, jnp.float32,
-                                                tiles_block=tiles_block)
     for K in ([1, probes] if probes > 1 else [1]):
-        bench_mv("sym XLA (2-read)", mv_x, K)
-        bench_mv("sym Pallas (1-read)", mv_p, K)
+        bench_mv("sym XLA (2-read)",
+                 lambda tl: symstore.make_sym_dual_matvec(tl, nt,
+                                                          jnp.float32), K)
+        bench_mv("sym Pallas (1-read)",
+                 lambda tl: symstore.make_sym_dual_matvec_pallas(
+                     tl, nt, jnp.float32, tiles_block=tiles_block), K)
 
     if not skip_dense and 2 * m_pad * m_pad < 12e9:
         from clipper_tpu.ops.affinity import score_consistency_stored
@@ -116,15 +117,15 @@ def main(argv=None):
         MC = jax.jit(lambda: score_consistency_stored(
             inv, D1j, D2j, Aj[:m], affinityeps=1e-4,
             storage_dtype=jnp.int8))()
-        mv_d = msrc_flat.make_stacked_matvec(MC, jnp.float32)
         for K in ([1, probes] if probes > 1 else [1]):
             u = (jnp.tile(u0[:, None], (1, K)) if K > 1 else u0)
-            f = jax.jit(lambda u: mv_d(u))
-            Mu, Cu = f(u)
+            f = jax.jit(lambda MC, u: msrc_flat.make_stacked_matvec(
+                MC, jnp.float32)(u))
+            Mu, Cu = f(MC, u)
             np.asarray(Mu[:1])
             t0 = time.perf_counter()
             for _ in range(10):
-                Mu, Cu = f(u)
+                Mu, Cu = f(MC, u)
             np.asarray(Mu[:1])
             print(f"{'dense stacked int8':28s} K={K}: "
                   f"{(time.perf_counter() - t0) / 10 * 1e3:8.2f} ms/tick",

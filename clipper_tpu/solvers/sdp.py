@@ -277,14 +277,31 @@ def _admm_finalize(M: jnp.ndarray, C: jnp.ndarray, s: _State,
     evec1 = Q[:, -1]
     pobj = jnp.sum(M * X)
 
-    # certified dual bound: repair T = rho*U to exact dual feasibility.
+    # in-graph dual bound: repair T = rho*U to exact dual feasibility.
     # Dual: min nu s.t. nu*I - M - W - Y >= 0 (PSD), W >= 0 on the allowed
     # set, Y free on the zero set. Any such (W, Y) certifies
-    # optimum <= nu = lambda_max(M + W + Y).
+    # optimum <= nu = lambda_max(M + W + Y). The host paths re-certify in
+    # f64 (:func:`_certify_f64`) — the f32 eigvalsh here carries
+    # O(|D| n eps) roundoff, visible as slightly negative gaps at m >= 256.
     T = s.rho * (s.U + s.U.T) / 2
     D = jnp.where(allowed, M + jnp.maximum(T - M, 0.0), T)
     dobj = jnp.linalg.eigvalsh(D)[-1]
-    return X, lam, evec1, pobj, dobj, s.it
+    return X, lam, evec1, pobj, dobj, s.it, T
+
+
+def _certify_f64(M, C, X, T):
+    """Exact-arithmetic certificate: pobj and the repaired dual bound in
+    host f64. (W, Y) are dual-feasible BY CONSTRUCTION for any T, so
+    gap = dobj - pobj is a true optimality certificate independent of the
+    device precision the iterates were computed in."""
+    M64 = np.asarray(M, np.float64)
+    X64 = np.asarray(X, np.float64)
+    T64 = np.asarray(T, np.float64)
+    allowed = np.asarray(C) != 0
+    D = np.where(allowed, M64 + np.maximum(T64 - M64, 0.0), T64)
+    dobj = float(np.linalg.eigvalsh((D + D.T) / 2)[-1])
+    pobj = float(np.sum(M64 * X64))
+    return pobj, dobj
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -333,7 +350,7 @@ def solve_batched(Ms, Cs, params: Params = Params()) -> List[Solution]:
     t0 = time.perf_counter()
     Ms = jnp.asarray(Ms)
     Cs = jnp.asarray(Cs, Ms.dtype)
-    X, lam, evec1, pobj, dobj, iters = jax.vmap(
+    X, lam, evec1, pobj, dobj, iters, T = jax.vmap(
         lambda M, C: _admm(M, C, params))(Ms, Cs)
     X = np.asarray(X)
     lam = np.asarray(lam)
@@ -344,9 +361,10 @@ def solve_batched(Ms, Cs, params: Params = Params()) -> List[Solution]:
     for b in range(X.shape[0]):
         thr = float(np.abs(evec1[b]).max() / 2.0)
         nodes = [int(i) for i in np.flatnonzero(np.abs(evec1[b]) > thr)]
+        pb, db = _certify_f64(Ms[b], Cs[b], X[b], T[b])
         out.append(Solution(X=X[b], lambdas=lam[b], evec1=evec1[b], thr=thr,
                             nodes=nodes, iters=int(iters[b]),
-                            pobj=float(pobj[b]), dobj=float(dobj[b]),
+                            pobj=pb, dobj=db,
                             t=t1 - t0, t_solve=t1 - t0))
     return out
 
@@ -381,9 +399,10 @@ def solve(M, C, params: Params = Params()) -> Solution:
                     print(f"sdp: time limit {params.time_limit_secs}s "
                           f"reached at iter {it}", flush=True)
                 break
-        X, lam, evec1, pobj, dobj, iters = _admm_finalize(M, C, s, params)
+        X, lam, evec1, pobj, dobj, iters, T = _admm_finalize(M, C, s,
+                                                             params)
     else:
-        X, lam, evec1, pobj, dobj, iters = _admm(M, C, params)
+        X, lam, evec1, pobj, dobj, iters, T = _admm(M, C, params)
 
     X = np.asarray(X)
     t1 = time.perf_counter()
@@ -392,8 +411,11 @@ def solve(M, C, params: Params = Params()) -> Solution:
 
     thr = float(np.abs(evec1).max() / 2.0)
     nodes = [int(i) for i in np.flatnonzero(np.abs(evec1) > thr)]
+    # re-certify pobj/dobj in host f64 (exact duals by construction; the
+    # device-precision eigvalsh can show tiny negative gaps at f32)
+    pobj, dobj = _certify_f64(M, C, X, T)
     t2 = time.perf_counter()
 
     return Solution(X=X, lambdas=lam, evec1=evec1, thr=thr, nodes=nodes,
-                    iters=int(iters), pobj=float(pobj), dobj=float(dobj),
+                    iters=int(iters), pobj=pobj, dobj=dobj,
                     t=t2 - t0, t_solve=t1 - t0, t_extract=t2 - t1)
