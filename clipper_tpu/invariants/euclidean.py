@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from clipper_tpu.invariants.base import PairwiseInvariant
 from clipper_tpu.ops.pairwise import (
     cross_distance_matrix,
+    cross_distance_rt,
     pairwise_distance_matrix,
 )
 
@@ -63,4 +64,11 @@ class EuclideanDistance(PairwiseInvariant):
     def score_block(self, P1r, P1c, P2r, P2c):
         l1 = cross_distance_matrix(P1r, P1c)
         l2 = cross_distance_matrix(P2r, P2c)
+        return self._score_from_lengths(l1, l2)
+
+    def score_block_t(self, P1r, P1ct, P2r, P2ct):
+        # column blocks pre-transposed — the Pallas fused-build fast path
+        # (no in-kernel relayouts); arithmetic bit-identical to score_block
+        l1 = cross_distance_rt(P1r, P1ct)
+        l2 = cross_distance_rt(P2r, P2ct)
         return self._score_from_lengths(l1, l2)

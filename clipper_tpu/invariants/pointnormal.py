@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from clipper_tpu.invariants.base import PairwiseInvariant
 from clipper_tpu.ops.pairwise import (
     cross_distance_matrix,
+    cross_distance_rt,
     pairwise_distance_matrix,
     pairwise_inner_matrix,
 )
@@ -81,4 +82,13 @@ class PointNormalDistance(PairwiseInvariant):
         l2 = cross_distance_matrix(P2r[:, :3], P2c[:, :3])
         a1 = jnp.arccos(jnp.clip(P1r[:, 3:6] @ P1c[:, 3:6].T, -1.0, 1.0))
         a2 = jnp.arccos(jnp.clip(P2r[:, 3:6] @ P2c[:, 3:6].T, -1.0, 1.0))
+        return self._score(l1, l2, a1, a2)
+
+    def score_block_t(self, P1r, P1ct, P2r, P2ct):
+        # column blocks pre-transposed ((6, mc)) — the Pallas fused-build
+        # fast path; same contractions, bit-identical to score_block
+        l1 = cross_distance_rt(P1r[:, :3], P1ct[:3, :])
+        l2 = cross_distance_rt(P2r[:, :3], P2ct[:3, :])
+        a1 = jnp.arccos(jnp.clip(P1r[:, 3:6] @ P1ct[3:6, :], -1.0, 1.0))
+        a2 = jnp.arccos(jnp.clip(P2r[:, 3:6] @ P2ct[3:6, :], -1.0, 1.0))
         return self._score(l1, l2, a1, a2)

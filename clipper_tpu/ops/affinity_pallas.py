@@ -102,3 +102,146 @@ def build_affinity_pallas(
         interpret=_use_interpret(),
     )(P1p, P1p, P2p, P2p, Ap, Ap)
     return M[:m, :m], C[:m, :m]
+
+
+def score_consistency_stored_pallas(
+    invariant: PairwiseInvariant,
+    D1: jnp.ndarray,
+    D2: jnp.ndarray,
+    A: jnp.ndarray,
+    *,
+    affinityeps: float = 1e-4,
+    m_true=None,
+    storage_dtype=jnp.int8,
+    tile: int = 256,
+) -> jnp.ndarray:
+    """Fused build of the stacked (2m, m) [M; C] storage — one HBM pass.
+
+    Matches ``ops.affinity.score_consistency_stored`` (for symmetric
+    invariants) but never touches HBM with anything full-precision: each
+    grid program evaluates the invariant's ``score_block`` on a (tile, tile)
+    patch in VMEM, applies the distinctness / diagonal / epsilon / padding
+    masks (reference semantics: src/clipper.cpp:35-64), quantizes, and
+    writes the int8 (or bf16) tile straight to the output. The XLA lowering
+    of the dense build materializes several (m, m) f32 intermediates
+    (distance matrices, scores) — ~4 full HBM round trips the fused kernel
+    deletes; measured on the headline build stage in BENCH.md round 3.
+
+    The third (fastest) grid axis s selects which half is written: s=0 the
+    M tile at rows [i*T, i*T+T), s=1 the C tile at rows [m_pad + i*T, ...).
+    The tile's scores are recomputed for s=1 — VMEM-resident recompute is
+    ~1 us against an HBM pass it replaces; inputs are block-cached by
+    Pallas across the two s steps since their index maps ignore s.
+
+    Requires ``invariant.symmetric`` (both built-ins are); asymmetric
+    custom invariants need the mirrored XLA path.
+    """
+    if not getattr(invariant, "symmetric", False):
+        raise ValueError(
+            "score_consistency_stored_pallas requires a symmetric "
+            "invariant; use ops.affinity.score_consistency_stored")
+    from clipper_tpu.solvers.msrc_flat import _INT8_SCALE
+
+    m = A.shape[0]
+    m_pad = -(-m // tile) * tile
+    nT = m_pad // tile
+    P1 = _pad_rows(D1[A[:, 0]], m_pad)
+    P2 = _pad_rows(D2[A[:, 1]], m_pad)
+    Ap = jnp.pad(A, ((0, m_pad - m), (0, 0)), constant_values=-1)
+    d = P1.shape[1]
+    is_int8 = jnp.dtype(storage_dtype) == jnp.int8
+    if m_true is None:
+        m_true = m
+    mt = jnp.reshape(jnp.asarray(m_true, jnp.int32), (1, 1))
+
+    # column blocks are fed PRE-TRANSPOSED ((d, m) / (2, m)): the kernel's
+    # (row, 1) x (1, col) broadcasts then need no in-kernel relayout —
+    # Mosaic lowers a (tile, 1) -> (1, tile) transpose as a cross-lane
+    # shuffle that dominated the v1 kernel (measured: 31.6 -> ~6 ms)
+    P1t = P1.T
+    P2t = P2.T
+    Apt = Ap.T
+    score_block_t = getattr(invariant, "score_block_t", None)
+    if score_block_t is None:
+        raise ValueError(
+            "score_consistency_stored_pallas needs invariant.score_block_t "
+            "(transposed column blocks); use ops.affinity."
+            "score_consistency_stored for invariants without it")
+
+    def kernel(mt_ref, P1r_ref, P1ct_ref, P2r_ref, P2ct_ref, Ar_ref,
+               Act_ref, out_ref, c_scr):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        s = pl.program_id(2)
+
+        # s is the fastest grid axis: (i, j, 0) computes the tile once and
+        # writes M; (i, j, 1) writes the C tile stashed in VMEM scratch
+        @pl.when(s == 0)
+        def _compute_and_write_m():
+            scores = score_block_t(P1r_ref[...], P1ct_ref[...],
+                                   P2r_ref[...], P2ct_ref[...])
+            Ar = Ar_ref[...]
+            Act = Act_ref[...]
+            distinct = ~(
+                (jax.lax.slice_in_dim(Ar, 0, 1, axis=1)
+                 == jax.lax.slice_in_dim(Act, 0, 1, axis=0))
+                | (jax.lax.slice_in_dim(Ar, 1, 2, axis=1)
+                   == jax.lax.slice_in_dim(Act, 1, 2, axis=0)))
+            gr = i * tile + jax.lax.broadcasted_iota(
+                jnp.int32, (tile, tile), 0)
+            gc = j * tile + jax.lax.broadcasted_iota(
+                jnp.int32, (tile, tile), 1)
+            lim = mt_ref[0, 0]
+            keep = (distinct & (gr != gc) & (gr < lim) & (gc < lim)
+                    & (scores > affinityeps))
+            # selects stay in f32 until one final convert: Mosaic cannot
+            # relayout the (8, 128)-tiled f32-comparison mask into the
+            # (32, 128) int8 tiling an int8-select would need
+            if is_int8:
+                Mq = jnp.clip(jnp.round(jnp.where(keep, scores, 0.0)
+                                        * _INT8_SCALE), 0, 127)
+                Cq = jnp.where(keep, _INT8_SCALE, 0.0)
+            else:
+                Mq = jnp.where(keep, scores, 0.0)
+                Cq = jnp.where(keep, 1.0, 0.0)
+            out_ref[...] = Mq.astype(storage_dtype)
+            c_scr[...] = Cq.astype(storage_dtype)
+
+        @pl.when(s == 1)
+        def _write_c():
+            out_ref[...] = c_scr[...]
+
+    grid = (nT, nT, 2)
+    row_spec = pl.BlockSpec((tile, d), lambda i, j, s: (i, 0),
+                            memory_space=pltpu.VMEM)
+    colt_spec = pl.BlockSpec((d, tile), lambda i, j, s: (0, j),
+                             memory_space=pltpu.VMEM)
+    arow_spec = pl.BlockSpec((tile, 2), lambda i, j, s: (i, 0),
+                             memory_space=pltpu.VMEM)
+    acolt_spec = pl.BlockSpec((2, tile), lambda i, j, s: (0, j),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, tile), lambda i, j, s: (s * nT + i, j),
+                            memory_space=pltpu.VMEM)
+
+    MC = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 1), lambda i, j, s: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  row_spec, colt_spec, row_spec, colt_spec,
+                  arow_spec, acolt_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2 * m_pad, m_pad), storage_dtype),
+        scratch_shapes=[pltpu.VMEM((tile, tile), storage_dtype)],
+        # large tiles amortize per-program overhead (grid programs cost ~us
+        # each; at tile=256 the 2(m/256)^2 programs dominate the build); the
+        # f32 score intermediates of a 512-tile need more scoped VMEM than
+        # the 16 MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(mt, P1, P1t, P2, P2t, Ap, Apt)
+    if m_pad == m:
+        return MC
+    # unpad: stacked halves move together
+    return jnp.concatenate([MC[:m, :m], MC[m_pad:m_pad + m, :m]], axis=0)

@@ -13,9 +13,20 @@ loop). On TPU we compute it whole:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _GRAM_DIM_THRESHOLD = 8
+
+
+def _col(P: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-th coordinate of every row as an (m, 1) column.
+
+    ``lax.slice_in_dim`` instead of ``P[:, k, None]``: the latter lowers to
+    a gather, which Mosaic (Pallas TPU) cannot lower inside a kernel; the
+    static slice is supported everywhere and XLA fuses both identically.
+    """
+    return jax.lax.slice_in_dim(P, k, k + 1, axis=1)
 
 
 def pairwise_sqdist_matrix(P: jnp.ndarray) -> jnp.ndarray:
@@ -24,7 +35,8 @@ def pairwise_sqdist_matrix(P: jnp.ndarray) -> jnp.ndarray:
     if d <= _GRAM_DIM_THRESHOLD:
         sq = jnp.zeros((m, m), dtype=P.dtype)
         for k in range(d):
-            diff = P[:, k, None] - P[None, :, k]
+            col = _col(P, k)
+            diff = col - col.reshape(1, m)
             sq = sq + diff * diff
         return sq
     g = P @ P.T
@@ -54,7 +66,7 @@ def cross_sqdist_matrix(Pr: jnp.ndarray, Pc: jnp.ndarray) -> jnp.ndarray:
     if d <= _GRAM_DIM_THRESHOLD:
         sq = jnp.zeros((mr, mc), dtype=Pr.dtype)
         for k in range(d):
-            diff = Pr[:, k, None] - Pc[None, :, k]
+            diff = _col(Pr, k) - _col(Pc, k).reshape(1, mc)
             sq = sq + diff * diff
         return sq
     g = Pr @ Pc.T
@@ -66,3 +78,25 @@ def cross_sqdist_matrix(Pr: jnp.ndarray, Pc: jnp.ndarray) -> jnp.ndarray:
 def cross_distance_matrix(Pr: jnp.ndarray, Pc: jnp.ndarray) -> jnp.ndarray:
     """Distances between row sets: (mr, d) x (mc, d) -> (mr, mc)."""
     return jnp.sqrt(cross_sqdist_matrix(Pr, Pc))
+
+
+def cross_sqdist_rt(Pr: jnp.ndarray, Pct: jnp.ndarray) -> jnp.ndarray:
+    """Squared distances, column set pre-transposed: (mr, d) x (d, mc).
+
+    Bit-identical arithmetic to :func:`cross_sqdist_matrix` (same operand
+    values, same order), but the (1, mc) row slice comes from an already-
+    transposed array — inside a Pallas kernel this avoids a per-tile
+    (mc, 1) -> (1, mc) relayout, which Mosaic lowers as an expensive
+    cross-lane shuffle (measured dominating the fused affinity build).
+    """
+    mr, d = Pr.shape
+    sq = jnp.zeros((mr, Pct.shape[1]), dtype=Pr.dtype)
+    for k in range(d):
+        diff = _col(Pr, k) - jax.lax.slice_in_dim(Pct, k, k + 1, axis=0)
+        sq = sq + diff * diff
+    return sq
+
+
+def cross_distance_rt(Pr: jnp.ndarray, Pct: jnp.ndarray) -> jnp.ndarray:
+    """Distances, column set pre-transposed: (mr, d) x (d, mc) -> (mr, mc)."""
+    return jnp.sqrt(cross_sqdist_rt(Pr, Pct))

@@ -227,6 +227,30 @@ def _support_bucket(support: int, nnz_max: int, m: int) -> int:
     return min(k, m)
 
 
+def _resolve_build(build: str, storage_dtype, invariant) -> str:
+    """'auto' -> 'pallas' on a TPU backend when the fused kernel applies.
+
+    The Pallas path needs direct-to-storage quantization (storage_dtype not
+    None) and an invariant exposing ``score_block_t`` (transposed column
+    blocks — both built-ins do); everywhere else the XLA build is used.
+    On non-TPU backends the kernel would run in interpret mode (slow), so
+    auto resolves to 'xla' there.
+    """
+    if build == "auto":
+        if (storage_dtype is not None
+                and getattr(invariant, "symmetric", False)
+                and getattr(invariant, "score_block_t", None) is not None
+                and jax.default_backend() == "tpu"):
+            return "pallas"
+        return "xla"
+    return build
+
+
+def _build_tile(m: int) -> int:
+    """Pallas build tile: large to amortize per-program cost, <= padded m."""
+    return min(1024, max(128, -(-m // 128) * 128))
+
+
 def make_pool_pipeline(invariant: PairwiseInvariant,
                        params: Params = Params(),
                        affinityeps: float = 1e-4,
@@ -238,10 +262,12 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
                        power_steps: int = 0,
                        chunk: Optional[int] = None,
                        mesh=None,
-                       axis_name: str = "b"):
+                       axis_name: str = "b",
+                       build: str = "auto",
+                       fused: Optional[bool] = None):
     """Compile (D1, D2s, As, u0s) -> batched Solution via the pool engine.
 
-    End-to-end: chunked affinity build into a device-resident [M; C] pool
+    End-to-end: affinity build into a device-resident [M; C] pool
     (storage_dtype), vmapped flat_init, compacted pool solve, then a
     full-precision polish pass (rebuild M in the working dtype, recompute
     F = u'(M + I)u — the DSD_HEU rounding omega = round(F) needs F accurate
@@ -252,7 +278,22 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     D1 (n1, d), D2s (W, n2, d), As (W, m, 2), u0s (W, m).
 
     support: top-k support size for the polish (see support_polish);
-    None rebuilds the full (m, m) affinity for the polish instead.
+    None rebuilds the full (m, m) affinity for the polish instead. A
+    converged support wider than ``support`` is handled IN-GRAPH: a scalar
+    ``lax.cond`` re-polishes the whole workload with k = m (exact at any
+    clique width) only when the overflow actually occurs at runtime — no
+    host round trip (through the remote device tunnel a single scalar
+    fetch costs ~23 ms, measured round 3).
+
+    build: 'auto' | 'xla' | 'pallas' — affinity-build backend. 'pallas'
+    fuses scoring, masking and quantization into one HBM pass
+    (ops.affinity_pallas.score_consistency_stored_pallas); 'auto' picks it
+    on TPU for symmetric invariants with direct-to-storage dtypes.
+
+    fused: run build + solve + polish as ONE jitted program (default when
+    mesh is None). One dispatch instead of build-chunks + solve + polish
+    eliminates inter-stage host scheduling; results are identical (same
+    ops, same order). ``chunk`` applies only to the unfused path.
 
     mesh: optional jax.sharding.Mesh for data-parallel scale-out — the W
     problems are sharded over ``axis_name`` and each device runs its own
@@ -260,16 +301,28 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     slow shard never stalls another's compute). W must divide evenly.
     The build/polish stages auto-partition under jit from the input
     shardings. The pool engine is a per-chip scheduler; this is the
-    multi-chip throughput configuration.
+    multi-chip throughput configuration. Forces fused=False.
 
     Rounding.DSD is downgraded to NONZERO (with a warning): the pool
     pipelines are terminal in-graph APIs with no host hop; use the Clipper
     facade (which reruns exact DSD host-side) if DSD rounding is required.
     """
     rounding = _pool_rounding(params)
+    build = _resolve_build(build, storage_dtype, invariant)
+    if fused is None:
+        fused = mesh is None
+    if mesh is not None:
+        fused = False
 
     def build_one(D1, D2, A, u0, m_true):
-        if storage_dtype is not None:
+        if storage_dtype is not None and build == "pallas":
+            from clipper_tpu.ops.affinity_pallas import (
+                score_consistency_stored_pallas)
+            MC_store = score_consistency_stored_pallas(
+                invariant, D1, D2, A, affinityeps=affinityeps,
+                m_true=m_true, storage_dtype=storage_dtype,
+                tile=_build_tile(A.shape[0]))
+        elif storage_dtype is not None:
             # direct-to-storage build: quantization fuses into the score
             # sweep; no full-precision C or stacked concat is materialized
             # (bit-identical to quantize(concat(build)) — see
@@ -291,37 +344,50 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
         return MC_store, init
 
     in_axes = (None if shared_d1 else 0, 0, 0, 0)
-    build = jax.jit(jax.vmap(build_one, in_axes=in_axes + (0,)))
+    vbuild = jax.vmap(build_one, in_axes=in_axes + (0,))
+    build_jit = jax.jit(vbuild)
 
-    def make_polish(k: Optional[int]):
-        def polish_one(D1, D2, A, u, F, ifinal, u0):
-            if k is not None:
-                Fp = support_polish(invariant, D1, D2, A, u,
-                                    affinityeps=affinityeps, k=k)
-            else:
-                M, _ = score_pairwise_consistency(invariant, D1, D2, A,
-                                                  affinityeps=affinityeps)
-                Fp = jnp.dot(u, M @ u + u)
-            mask = msrc.round_solution(u, Fp, rounding)
-            return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=Fp)
+    def polish_one(k: Optional[int], D1, D2, A, u, F, ifinal, u0):
+        if k is not None:
+            Fp = support_polish(invariant, D1, D2, A, u,
+                                affinityeps=affinityeps, k=k)
+        else:
+            M, _ = score_pairwise_consistency(invariant, D1, D2, A,
+                                              affinityeps=affinityeps)
+            Fp = jnp.dot(u, M @ u + u)
+        mask = msrc.round_solution(u, Fp, rounding)
+        return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=Fp)
 
-        return jax.jit(jax.vmap(polish_one, in_axes=in_axes + (0, 0, 0)))
+    def polish_batch(D1, D2s, As, u, F, ifinal, u0s):
+        """Optimistic top-k polish with an in-graph exact-overflow branch.
 
-    polish_cache: dict = {}
+        The k=support polish is exact only when every converged support
+        fits in k (support_objective); a wider clique would truncate
+        omega = round(F). The overflow predicate is a SCALAR, so lax.cond
+        executes the k=m re-polish only when it actually fires — the
+        common case costs one cheap polish and a comparison, with no
+        host synchronization.
+        """
+        m = u.shape[-1]
 
-    def get_polish(k: Optional[int]):
-        if k not in polish_cache:
-            polish_cache[k] = make_polish(k)
-        return polish_cache[k]
+        def vpolish(k):
+            return jax.vmap(functools.partial(polish_one, k),
+                            in_axes=in_axes + (0, 0, 0))(
+                                D1, D2s, As, u, F, ifinal, u0s)
 
-    # tiny second pass: the polish k must cover the widest converged support
-    # or omega = round(F) silently truncates (see _support_bucket); one
-    # scalar fetch per workload picks the (cached) polish bucket
-    nnz_max = jax.jit(lambda u: jnp.max(jnp.sum(u > 0, axis=-1)))
+        if support is None or support >= m:
+            return vpolish(support)
+        nnz_widest = jnp.max(jnp.sum(u > 0, axis=-1))
+        return jax.lax.cond(nnz_widest > support,
+                            lambda: vpolish(m),
+                            lambda: vpolish(support))
+
+    polish_jit = jax.jit(polish_batch)
 
     if mesh is None:
-        solve = jax.jit(functools.partial(solve_pool, params=params,
-                                          lanes=lanes, window=window))
+        solve = functools.partial(solve_pool, params=params,
+                                  lanes=lanes, window=window)
+        solve_jit = jax.jit(solve)
     else:
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
@@ -330,12 +396,18 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
 
         state_spec = jax.tree.map(lambda _: Pspec(axis_name),
                                   msrc_flat._FlatState(*([0] * 12)))
-        solve = jax.jit(jax.shard_map(
+        solve_jit = jax.jit(jax.shard_map(
             _local, mesh=mesh,
             in_specs=(Pspec(axis_name), state_spec),
             out_specs=(Pspec(axis_name), Pspec(axis_name), Pspec(axis_name)),
             check_vma=False,
         ))
+
+    @jax.jit
+    def fused_pipeline(D1, D2s, As, u0s, m_trues):
+        MCs, inits = vbuild(D1, D2s, As, u0s, m_trues)
+        u, F, ifinal = solve(MCs, inits)
+        return polish_batch(D1, D2s, As, u, F, ifinal, u0s)
 
     def pipeline(D1, D2s, As, u0s, m_trues=None):
         """m_trues: optional (W,) i32 — per-problem true sizes for padded
@@ -344,6 +416,8 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
         W = D2s.shape[0]
         if m_trues is None:
             m_trues = jnp.full((W,), As.shape[1], jnp.int32)
+        if fused:
+            return fused_pipeline(D1, D2s, As, u0s, m_trues)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
             D = mesh.shape[axis_name]
@@ -360,24 +434,15 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
         csize = W if mesh is not None else (chunk or W)
         MCs_parts, init_parts = [], []
         for s in range(0, W, csize):
-            MCs_c, inits_c = build(D1, D2s[s:s + csize], As[s:s + csize],
-                                   u0s[s:s + csize], m_trues[s:s + csize])
+            MCs_c, inits_c = build_jit(D1, D2s[s:s + csize], As[s:s + csize],
+                                       u0s[s:s + csize], m_trues[s:s + csize])
             MCs_parts.append(MCs_c)
             init_parts.append(inits_c)
-        MCs = jnp.concatenate(MCs_parts) if len(MCs_parts) > 1 else MCs_parts[0]
+        MCs = MCs_parts[0] if len(MCs_parts) == 1 else jnp.concatenate(MCs_parts)
         inits = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *init_parts)
                  if len(init_parts) > 1 else init_parts[0])
-        u, F, ifinal = solve(MCs, inits)
-        # optimistic polish at the default k (queued on device), with the
-        # nnz fetch overlapping its execution; only the rare wide-clique
-        # overflow pays a re-polish (see _support_bucket)
-        solns = get_polish(support)(D1, D2s, As, u, F, ifinal, u0s)
-        if support is not None:
-            nnz = int(nnz_max(u))
-            if nnz > support:
-                k = _support_bucket(support, nnz, u.shape[-1])
-                solns = get_polish(k)(D1, D2s, As, u, F, ifinal, u0s)
-        return solns
+        u, F, ifinal = solve_jit(MCs, inits)
+        return polish_jit(D1, D2s, As, u, F, ifinal, u0s)
 
     return pipeline
 
@@ -392,7 +457,9 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
                                   window: int = 8,
                                   support: Optional[int] = 256,
                                   power_steps: int = 0,
-                                  chunk: Optional[int] = None):
+                                  chunk: Optional[int] = None,
+                                  build: str = "auto",
+                                  fused: bool = True):
     """Pool pipeline with K restarts per problem; keeps the densest cluster.
 
     The PGA solver is a local method and different u0 can land on different
@@ -413,9 +480,16 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
     """
     K = int(restarts)
     rounding = _pool_rounding(params)
+    build = _resolve_build(build, storage_dtype, invariant)
 
     def build_one(D1, D2, A, u0K):
-        if storage_dtype is not None:
+        if storage_dtype is not None and build == "pallas":
+            from clipper_tpu.ops.affinity_pallas import (
+                score_consistency_stored_pallas)
+            MC_store = score_consistency_stored_pallas(
+                invariant, D1, D2, A, affinityeps=affinityeps,
+                storage_dtype=storage_dtype, tile=_build_tile(A.shape[0]))
+        elif storage_dtype is not None:
             MC_store = score_consistency_stored(
                 invariant, D1, D2, A, affinityeps=affinityeps,
                 storage_dtype=storage_dtype)
@@ -434,71 +508,87 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
         return MC_store, inits
 
     in_axes = (None if shared_d1 else 0, 0, 0, 0)
-    build = jax.jit(jax.vmap(build_one, in_axes=in_axes))
+    vbuild = jax.vmap(build_one, in_axes=in_axes)
+    build_jit = jax.jit(vbuild)
 
-    def make_polish(k: Optional[int]):
-        def polish_one(D1, D2, A, Us, u0K):
-            """Pick the restart with the best full-precision objective."""
-            if k is not None:
-                Fp = jax.vmap(lambda u: support_polish(
-                    invariant, D1, D2, A, u, affinityeps=affinityeps,
-                    k=k))(Us)                          # (K,)
-            else:
-                M, _ = score_pairwise_consistency(invariant, D1, D2, A,
-                                                  affinityeps=affinityeps)
-                MU = Us @ M                            # (K, m)
-                Fp = jnp.sum(MU * Us, axis=1) + jnp.sum(Us * Us, axis=1)
-            best = jnp.argmax(Fp)
-            u = Us[best]
-            F = Fp[best]
-            mask = msrc.round_solution(u, F, rounding)
-            return Solution(ifinal=jnp.int32(best), mask=mask, u0=u0K[best],
-                            u=u, score=F)
+    def polish_one(k: Optional[int], D1, D2, A, Us, u0K):
+        """Pick the restart with the best full-precision objective."""
+        if k is not None:
+            Fp = jax.vmap(lambda u: support_polish(
+                invariant, D1, D2, A, u, affinityeps=affinityeps,
+                k=k))(Us)                          # (K,)
+        else:
+            M, _ = score_pairwise_consistency(invariant, D1, D2, A,
+                                              affinityeps=affinityeps)
+            MU = Us @ M                            # (K, m)
+            Fp = jnp.sum(MU * Us, axis=1) + jnp.sum(Us * Us, axis=1)
+        best = jnp.argmax(Fp)
+        u = Us[best]
+        F = Fp[best]
+        mask = msrc.round_solution(u, F, rounding)
+        return Solution(ifinal=jnp.int32(best), mask=mask, u0=u0K[best],
+                        u=u, score=F)
 
-        return jax.jit(jax.vmap(polish_one, in_axes=in_axes + (0,)))
+    def polish_batch(D1, D2s, As, Us, u0s):
+        # in-graph overflow handling, as in make_pool_pipeline: the k=m
+        # exact re-polish runs only when a converged support exceeds k
+        m = Us.shape[-1]
 
-    polish_cache: dict = {}
+        def vpolish(k):
+            return jax.vmap(functools.partial(polish_one, k),
+                            in_axes=in_axes + (0,))(D1, D2s, As, Us, u0s)
 
-    def get_polish(k: Optional[int]):
-        if k not in polish_cache:
-            polish_cache[k] = make_polish(k)
-        return polish_cache[k]
+        if support is None or support >= m:
+            return vpolish(support)
+        nnz_widest = jnp.max(jnp.sum(Us > 0, axis=-1))
+        return jax.lax.cond(nnz_widest > support,
+                            lambda: vpolish(m),
+                            lambda: vpolish(support))
 
-    nnz_max = jax.jit(lambda u: jnp.max(jnp.sum(u > 0, axis=-1)))
+    polish_jit = jax.jit(polish_batch)
 
     # hoisted: a jit wrapper created per pipeline() call would retrace the
     # whole pool solve every invocation (minutes through the remote tunnel)
-    solve = jax.jit(functools.partial(solve_pool, params=params,
-                                      lanes=lanes, window=window))
+    solve = functools.partial(solve_pool, params=params,
+                              lanes=lanes, window=window)
+    solve_jit = jax.jit(solve)
+
+    def _solve_polish(MCs, inits, D1, D2s, As, u0s, W, *, jit_stages):
+        # flatten (W, K, ...) -> (W*K, ...) lane instances over W matrices
+        inits = jax.tree.map(
+            lambda a: a.reshape((W * K,) + a.shape[2:]), inits)
+        problem_of = jnp.repeat(jnp.arange(W, dtype=jnp.int32), K)
+        sv = solve_jit if jit_stages else solve
+        u, F, ifinal = sv(MCs, inits, problem_of=problem_of)
+        Us = u.reshape(W, K, -1)
+        pol = polish_jit if jit_stages else polish_batch
+        return pol(D1, D2s, As, Us, u0s)
+
+    @functools.partial(jax.jit, static_argnames=("W",))
+    def fused_pipeline(D1, D2s, As, u0s, W):
+        MCs, inits = vbuild(D1, D2s, As, u0s)
+        return _solve_polish(MCs, inits, D1, D2s, As, u0s, W,
+                             jit_stages=False)
 
     def pipeline(D1, D2s, As, u0s):
         W = D2s.shape[0]
         assert u0s.ndim == 3 and u0s.shape[:2] == (W, K), (
             f"u0s must be (W={W}, K={K}, m); got {u0s.shape}")
+        if fused:
+            return fused_pipeline(D1, D2s, As, u0s, W)
         csize = chunk or W
         MCs_parts, init_parts = [], []
         for s in range(0, W, csize):
-            MCs_c, inits_c = build(D1, D2s[s:s + csize], As[s:s + csize],
-                                   u0s[s:s + csize])
+            MCs_c, inits_c = build_jit(D1, D2s[s:s + csize],
+                                       As[s:s + csize], u0s[s:s + csize])
             MCs_parts.append(MCs_c)
             init_parts.append(inits_c)
         MCs = (jnp.concatenate(MCs_parts) if len(MCs_parts) > 1
                else MCs_parts[0])
         inits = (jax.tree.map(lambda *xs: jnp.concatenate(xs), *init_parts)
                  if len(init_parts) > 1 else init_parts[0])
-        # flatten (W, K, ...) -> (W*K, ...) lane instances over W matrices
-        inits = jax.tree.map(
-            lambda a: a.reshape((W * K,) + a.shape[2:]), inits)
-        problem_of = jnp.repeat(jnp.arange(W, dtype=jnp.int32), K)
-        u, F, ifinal = solve(MCs, inits, problem_of=problem_of)
-        Us = u.reshape(W, K, -1)
-        solns = get_polish(support)(D1, D2s, As, Us, u0s)
-        if support is not None:
-            nnz = int(nnz_max(u))
-            if nnz > support:
-                k = _support_bucket(support, nnz, u.shape[-1])
-                solns = get_polish(k)(D1, D2s, As, Us, u0s)
-        return solns
+        return _solve_polish(MCs, inits, D1, D2s, As, u0s, W,
+                             jit_stages=True)
 
     return pipeline
 
