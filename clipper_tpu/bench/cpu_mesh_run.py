@@ -33,7 +33,13 @@ def main(argv=None):
             argv.remove(a)
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={ndev}")
+        + f" --xla_force_host_platform_device_count={ndev}"
+        # N virtual devices share this host's physical cores, so a
+        # device's turn at a collective can lag far behind the others';
+        # XLA CPU's default 40 s in-process rendezvous timeout kills
+        # m >= 100k runs (one tick's local matmul is seconds per device)
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
