@@ -147,12 +147,22 @@ def main(argv=None):
         else:
             u, F, i = msrc_flat.flat_solve_single(mv, u0i, Params())
         from clipper_tpu.parallel.pool import support_objective
-        F = support_objective(inv, P1, P2, Aj, u, affinityeps=1e-4, k=1024)
+        nnz = jnp.sum(u > 0)
+        F = jax.lax.cond(
+            nnz > 1024,
+            lambda: symstore.exact_objective(inv, P1, P2, Aj, u, m, tile=t,
+                                             affinityeps=1e-4),
+            lambda: support_objective(inv, P1, P2, Aj, u, affinityeps=1e-4,
+                                      k=1024))
         return u, F, i
 
     u0p = jnp.pad(u0, (0, pad))
     u, F, i = solve(tiles, u0p)
     np.asarray(F)
+    # free the warmup storage BEFORE the timed rebuild: two live triangle
+    # arrays at m = 114,688 are 26 GB — over a 16 GB v5e's HBM
+    del tiles
+    del u, F, i
     t0 = time.perf_counter()
     tiles2 = build(P1, P2, Aj)
     u, F, i = solve(tiles2, u0p)

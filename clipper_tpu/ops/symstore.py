@@ -62,6 +62,72 @@ def _divisor_at_most(n: int, k: int) -> int:
     return k
 
 
+def _tile_scores(invariant: PairwiseInvariant, P1b, P2b, Ab, r, c,
+                 m_true, t: int, affinityeps: float):
+    """Masked full-precision scores of block (r, c): the f32 M tile.
+
+    Shared by the quantizing build and the exact chunked objective so both
+    see bit-identical score values (reference semantics:
+    src/clipper.cpp:35-55)."""
+    P1r, P1c = P1b[r], P1b[c]
+    P2r, P2c = P2b[r], P2b[c]
+    Ar, Ac = Ab[r], Ab[c]
+    scores = invariant.score_block(P1r, P1c, P2r, P2c)
+    distinct = ~((Ar[:, 0, None] == Ac[None, :, 0])
+                 | (Ar[:, 1, None] == Ac[None, :, 1]))
+    gr = r * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    gc = c * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    keep = (distinct & (gr != gc) & (gr < m_true) & (gc < m_true)
+            & (scores > affinityeps))
+    return scores, keep
+
+
+def exact_objective(invariant: PairwiseInvariant, P1, P2, A, u, m_true,
+                    tile: int = 128, affinityeps: float = 1e-4,
+                    chunk: int = 256):
+    """F = u'(M + I)u computed exactly in f32 by chunked tile rebuild.
+
+    O(chunk t^2) transient memory at any m — the support-overflow fallback
+    for the triangle storage: when a converged clique is wider than the
+    top-k polish window, the truncated objective silently shrinks
+    omega = round(F) (the bug class first hit at m=65,536, BENCH.md
+    round 2; the symmetric-triangle path hit it again at m=114,688 with
+    cliques ~4,600 wide in round 3). Scores are recomputed tile-by-tile in
+    full precision — one extra build-cost pass, paid only when triggered.
+    """
+    m_pad, d = P1.shape
+    t = int(tile)
+    nt = m_pad // t
+    rows_np, cols_np = tile_coords(nt)
+    T = len(rows_np)
+    rows = jnp.asarray(rows_np)
+    cols = jnp.asarray(cols_np)
+    P1b = P1.reshape(nt, t, d)
+    P2b = P2.reshape(nt, t, d)
+    Ab = A.reshape(nt, t, 2)
+    Ub = u.astype(jnp.float32).reshape(nt, t)
+
+    def one_quad(r, c):
+        scores, keep = _tile_scores(invariant, P1b, P2b, Ab, r, c,
+                                    m_true, t, affinityeps)
+        Mt = jnp.where(keep, scores, 0.0).astype(jnp.float32)
+        q = Ub[r] @ (Mt @ Ub[c])
+        # off-diagonal tiles represent both (r, c) and its transpose
+        return jnp.where(r == c, q, 2.0 * q)
+
+    ch = _divisor_at_most(T, chunk)
+    vquad = jax.vmap(one_quad)
+
+    def body(kk, acc):
+        s = kk * ch
+        r = jax.lax.dynamic_slice_in_dim(rows, s, ch)
+        c = jax.lax.dynamic_slice_in_dim(cols, s, ch)
+        return acc + jnp.sum(vquad(r, c))
+
+    F = jax.lax.fori_loop(0, T // ch, body, jnp.zeros((), jnp.float32))
+    return F + jnp.dot(u, u).astype(jnp.float32)
+
+
 def build_symtiles(invariant: PairwiseInvariant, P1, P2, A, m_true,
                    tile: int = 128, affinityeps: float = 1e-4,
                    storage_dtype=jnp.int8, build_chunk: int = 256):
@@ -93,16 +159,8 @@ def build_symtiles(invariant: PairwiseInvariant, P1, P2, A, m_true,
     is_int8 = jnp.dtype(storage_dtype) == jnp.int8
 
     def one_tile(r, c):
-        P1r, P1c = P1b[r], P1b[c]
-        P2r, P2c = P2b[r], P2b[c]
-        Ar, Ac = Ab[r], Ab[c]
-        scores = invariant.score_block(P1r, P1c, P2r, P2c)
-        distinct = ~((Ar[:, 0, None] == Ac[None, :, 0])
-                     | (Ar[:, 1, None] == Ac[None, :, 1]))
-        gr = r * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-        gc = c * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-        keep = (distinct & (gr != gc) & (gr < m_true) & (gc < m_true)
-                & (scores > affinityeps))
+        scores, keep = _tile_scores(invariant, P1b, P2b, Ab, r, c,
+                                    m_true, t, affinityeps)
         if is_int8:
             from clipper_tpu.solvers.msrc_flat import _INT8_SCALE
             Mq = jnp.clip(jnp.round(jnp.where(keep, scores, 0.0)
@@ -379,8 +437,16 @@ def _solve_padded(invariant, P1, P2, A, u0, m_true, *, params, tile,
         u, F, ifinal = msrc_flat.flat_solve_single(mv, u0, params)
     # full-precision objective polish (omega = round(F) needs accuracy
     # well under 0.5 — int8 in-loop F carries a systematic positive bias,
-    # BENCH.md round 2)
+    # BENCH.md round 2). The top-k polish is exact only for supports <= k;
+    # wider cliques take the in-graph chunked exact rebuild (scalar
+    # lax.cond: the expensive branch runs only when overflow occurs)
     k = min(support, m_pad)
-    F = support_objective(invariant, P1, P2, A, u,
-                          affinityeps=affinityeps, k=k)
+    nnz = jnp.sum(u > 0)
+    F = jax.lax.cond(
+        nnz > k,
+        lambda: exact_objective(invariant, P1, P2, A, u, m_true,
+                                tile=tile, affinityeps=affinityeps,
+                                chunk=build_chunk),
+        lambda: support_objective(invariant, P1, P2, A, u,
+                                  affinityeps=affinityeps, k=k))
     return u, F, ifinal
