@@ -25,6 +25,13 @@ import sys
 
 
 def main(argv=None):
+    if "jax" in sys.modules:
+        raise RuntimeError(
+            "cpu_mesh_run must set XLA_FLAGS/JAX_PLATFORMS before jax is "
+            "imported — run it as a fresh process "
+            "(python -m clipper_tpu.bench.cpu_mesh_run ...); with jax "
+            "already imported the virtual-device count and collective "
+            "timeouts would silently not apply")
     argv = list(argv if argv is not None else sys.argv[1:])
     ndev = 8
     for a in list(argv):

@@ -16,6 +16,7 @@ Differences by design (TPU-native):
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -32,6 +33,15 @@ from clipper_tpu.types import Params, Rounding, Solution, as_association
 
 def _default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _solve_multistart_jit(M, C, u0s, params):
+    """Module-level jitted multistart entry: a jit wrapper created inside
+    solve() would discard its compile cache on every call — minutes of
+    retrace per invocation through the remote device tunnel (CLAUDE.md)."""
+    from clipper_tpu.solvers import msrc_flat
+    return msrc_flat.solve_multistart(M, C, u0s, params)
 
 
 class Clipper:
@@ -124,12 +134,9 @@ class Clipper:
         m = self._M.shape[0]
         t0 = time.perf_counter()
         if multistart > 1 and u0 is None:
-            from clipper_tpu.solvers import msrc_flat
             u0s = jax.vmap(lambda k: utils.randvec(k, m, dtype=self.dtype))(
                 jax.random.split(key, multistart))
-            soln = jax.jit(msrc_flat.solve_multistart,
-                           static_argnames=("params",))(
-                self._M, self._C, u0s, self.params)
+            soln = _solve_multistart_jit(self._M, self._C, u0s, self.params)
         else:
             if u0 is None:
                 u0 = utils.randvec(key, m, dtype=self.dtype)
@@ -163,23 +170,25 @@ class Clipper:
         m = self._bs_info["m"]
         t0 = time.perf_counter()
         K = max(1, int(multistart))
-        best = None
-        for _ in range(K):
-            if u0 is not None:
-                u0k = jnp.asarray(u0, self.dtype)
-            else:
-                key, sub = jax.random.split(key)
-                u0k = utils.randvec(sub, m, dtype=self.dtype)
-            u, F, ifinal = blocksparse.solve_prepared(
-                self._bs, self._bs_info, u0k, self.params, power_steps=4)
-            # full-precision objective u'(M + I)u via a sparse matvec:
-            # int8 tile storage biases the in-loop F (BENCH.md round 2),
-            # and omega = round(F) needs accuracy well under 0.5
-            u_np = np.asarray(u, np.float64)
-            Fp = float(u_np @ (self._M_sparse @ u_np) + u_np @ u_np)
-            if best is None or Fp > best[1]:
-                best = (u_np, Fp, int(ifinal), u0k)
-        u_np, Fp, ifinal, u0k = best
+        if u0 is not None:
+            u0s = jnp.asarray(u0, self.dtype)[None, :]
+            K = 1
+        else:
+            u0s = jax.vmap(lambda k: utils.randvec(k, m, dtype=self.dtype))(
+                jax.random.split(key, K))
+        # ALL K restarts run as one batched device program (vmapped lanes
+        # over the shared tile storage) and come back in one fetch — a
+        # host loop of K dispatches would pay ~23 ms tunnel latency each
+        us, Fs, ifinals = blocksparse.solve_prepared_multi(
+            self._bs, self._bs_info, u0s, self.params, power_steps=4)
+        # full-precision objective u'(M + I)u via a sparse matvec:
+        # int8 tile storage biases the in-loop F (BENCH.md round 2),
+        # and omega = round(F) needs accuracy well under 0.5
+        us_np = np.asarray(us, np.float64)
+        Fps = [float(un @ (self._M_sparse @ un) + un @ un) for un in us_np]
+        best = int(np.argmax(Fps))
+        u_np, Fp = us_np[best], Fps[best]
+        ifinal, u0k = int(ifinals[best]), u0s[best]
 
         if self.params.rounding == Rounding.DSD:
             from clipper_tpu.solvers import dsd

@@ -273,6 +273,49 @@ def solve_prepared(bs: Optional[BlockSparseMC], info: dict, u0,
     return u[:m], F, ifinal
 
 
+def solve_prepared_multi(bs: Optional[BlockSparseMC], info: dict, u0s,
+                         params=None, *, probes: int = 1,
+                         power_steps: int = 0):
+    """Batched multistart over prepared storage: ONE device program for all
+    K restarts (vmapped lanes over the shared tiles) instead of K separate
+    dispatches — through the remote device tunnel each dispatch costs a
+    flat ~23 ms fetch, so the K-loop alternative pays K x that in pure
+    latency. u0s: (K, m). Returns (us, Fs, ifinals) with us (K, m).
+    """
+    from clipper_tpu.types import Params
+    if params is None:
+        params = Params()
+    m = info["m"]
+    m_pad = info["m_pad"]
+    u0ps = jnp.pad(jnp.asarray(u0s), ((0, 0), (0, m_pad - m)))
+
+    if bs is None:
+        us, Fs, ifinals = _solve_dense_multi(
+            info["dense"], u0ps, params=params, probes=probes,
+            power_steps=power_steps)
+    else:
+        us, Fs, ifinals = _solve_block_multi(
+            bs, u0ps, nt=info["nt"], params=params, probes=probes,
+            power_steps=power_steps)
+    return us[:, :m], Fs, ifinals
+
+
+@functools.partial(jax.jit, static_argnames=("params", "probes",
+                                             "power_steps"))
+def _solve_dense_multi(MC, u0ps, *, params, probes, power_steps):
+    mv = msrc_flat.make_stacked_matvec(MC, u0ps.dtype)
+    return jax.vmap(
+        lambda u0p: _run_flat(mv, u0p, params, probes, power_steps))(u0ps)
+
+
+@functools.partial(jax.jit, static_argnames=("nt", "params", "probes",
+                                             "power_steps"))
+def _solve_block_multi(bs, u0ps, *, nt, params, probes, power_steps):
+    mv = make_matvec(bs, nt, u0ps.dtype)
+    return jax.vmap(
+        lambda u0p: _run_flat(mv, u0p, params, probes, power_steps))(u0ps)
+
+
 def _run_flat(mv, u0p, params, probes, power_steps):
     if power_steps:
         u0p = msrc_flat.power_init(mv, u0p, power_steps)

@@ -125,7 +125,10 @@ def exact_objective(invariant: PairwiseInvariant, P1, P2, A, u, m_true,
         return acc + jnp.sum(vquad(r, c))
 
     F = jax.lax.fori_loop(0, T // ch, body, jnp.zeros((), jnp.float32))
-    return F + jnp.dot(u, u).astype(jnp.float32)
+    # identity term on the f32 blocks (Ub), not u's working dtype: with a
+    # bf16 iterate the exact-overflow fallback must not reintroduce the
+    # low-precision accumulation it exists to avoid
+    return F + jnp.vdot(Ub, Ub)
 
 
 def build_symtiles(invariant: PairwiseInvariant, P1, P2, A, m_true,

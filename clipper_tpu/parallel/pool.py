@@ -212,19 +212,46 @@ def support_polish(invariant: PairwiseInvariant, D1, D2, A, u,
                              affinityeps=affinityeps, k=k)
 
 
-def _support_bucket(support: int, nnz_max: int, m: int) -> int:
-    """Smallest power-of-2 multiple of ``support`` covering nnz_max (<= m).
+def exact_objective_rows(invariant: PairwiseInvariant, P1, P2, A, u,
+                         affinityeps: float = 1e-4, chunk: int = 128):
+    """F = u'(M + I)u rebuilt exactly in f32, ``chunk`` rows at a time.
 
-    The support polish is exact only when k >= nnz(u) (support_objective);
-    converged supports are usually far under the default, but a low-outlier
-    problem's clique can exceed it — omega = round(F) would then silently
-    truncate the DSD_HEU mask to ~k entries. Buckets keep the number of
-    distinct polish compilations logarithmic.
+    The support-overflow fallback for the dense pipelines: exact at ANY
+    clique width (unlike support_objective's top-k cap) with transient
+    memory bounded at (chunk, m) — a full (m, m) score rebuild is never
+    materialized, so the overflow branch's static buffer allocation stays
+    small even though lax.cond compiles it into the program unconditionally.
+    The diagonal is excluded by the distinctness mask itself (an association
+    shares both endpoints with itself), matching support_objective; padded
+    rows (A = -1) mask the same way and carry u = 0 anyway.
     """
-    k = support
-    while k < nnz_max:
-        k *= 2
-    return min(k, m)
+    m = u.shape[0]
+    ch = _divisor_at_most_pool(m, chunk)
+    acc_dtype = jnp.promote_types(u.dtype, jnp.float32)
+    uf = u.astype(acc_dtype)
+
+    def body(kk, acc):
+        s = kk * ch
+        P1r = jax.lax.dynamic_slice_in_dim(P1, s, ch)
+        P2r = jax.lax.dynamic_slice_in_dim(P2, s, ch)
+        Ar = jax.lax.dynamic_slice_in_dim(A, s, ch)
+        u_r = jax.lax.dynamic_slice_in_dim(uf, s, ch)
+        scores = invariant.score_block(P1r, P1, P2r, P2)
+        distinct = ~((Ar[:, 0, None] == A[None, :, 0])
+                     | (Ar[:, 1, None] == A[None, :, 1]))
+        keep = distinct & (scores > affinityeps)
+        Mr = jnp.where(keep, scores, 0.0).astype(acc_dtype)
+        return acc + jnp.dot(u_r, Mr @ uf)
+
+    F = jax.lax.fori_loop(0, m // ch, body, jnp.zeros((), acc_dtype))
+    return F + jnp.dot(uf, uf)
+
+
+def _divisor_at_most_pool(n: int, k: int) -> int:
+    k = max(1, min(n, k))
+    while n % k:
+        k -= 1
+    return k
 
 
 def _resolve_build(build: str, storage_dtype, invariant) -> str:
@@ -243,12 +270,29 @@ def _resolve_build(build: str, storage_dtype, invariant) -> str:
                 and jax.default_backend() == "tpu"):
             return "pallas"
         return "xla"
+    if build == "pallas" and storage_dtype is None:
+        # mirror score_consistency_stored_pallas's asymmetric-invariant
+        # error: an explicit pallas request that silently fell through to
+        # the dense XLA path would misreport what ran
+        raise ValueError(
+            "build='pallas' requires a direct-to-storage dtype "
+            "(storage_dtype=jnp.int8/jnp.bfloat16); the fused kernel "
+            "quantizes as it builds and has no dense full-precision output")
     return build
 
 
 def _build_tile(m: int) -> int:
-    """Pallas build tile: large to amortize per-program cost, <= padded m."""
-    return min(1024, max(128, -(-m // 128) * 128))
+    """Pallas build tile: the largest multiple of 128 (<= 1024) that divides
+    the 128-aligned m, so the kernel's padding stays <= 127 rows. A fixed
+    tile=1024 would pad e.g. m=1536 to m_pad=2048 — up to ~2-3x extra build
+    compute and int8 HBM plus an unpad copy, silently worse than the XLA
+    build for non-multiple shapes."""
+    m128 = -(-m // 128) * 128
+    q = m128 // 128
+    for k in range(min(8, q), 0, -1):
+        if q % k == 0:
+            return 128 * k
+    return 128
 
 
 def make_pool_pipeline(invariant: PairwiseInvariant,
@@ -348,15 +392,19 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     build_jit = jax.jit(vbuild)
 
     def polish_one(k: Optional[int], D1, D2, A, u, F, ifinal, u0):
-        if k is not None:
+        if k == "exact":
+            Fp = exact_objective_rows(invariant, D1[A[:, 0]], D2[A[:, 1]],
+                                      A, u, affinityeps=affinityeps)
+        elif k is not None:
             Fp = support_polish(invariant, D1, D2, A, u,
                                 affinityeps=affinityeps, k=k)
         else:
             M, _ = score_pairwise_consistency(invariant, D1, D2, A,
                                               affinityeps=affinityeps)
             Fp = jnp.dot(u, M @ u + u)
-        mask = msrc.round_solution(u, Fp, rounding)
-        return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=Fp)
+        mask = msrc.round_solution(u, Fp.astype(u.dtype), rounding)
+        return Solution(ifinal=ifinal, mask=mask, u0=u0, u=u,
+                        score=Fp.astype(u.dtype))
 
     def polish_batch(D1, D2s, As, u, F, ifinal, u0s):
         """Optimistic top-k polish with an in-graph exact-overflow branch.
@@ -364,9 +412,12 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
         The k=support polish is exact only when every converged support
         fits in k (support_objective); a wider clique would truncate
         omega = round(F). The overflow predicate is a SCALAR, so lax.cond
-        executes the k=m re-polish only when it actually fires — the
-        common case costs one cheap polish and a comparison, with no
-        host synchronization.
+        executes the exact re-polish only when it actually fires — the
+        common case costs one cheap polish and a comparison, with no host
+        synchronization. The expensive branch is the row-chunked exact
+        rebuild (exact_objective_rows): exact at any clique width with
+        (chunk, m) transient memory, so the branch's statically-allocated
+        buffers stay small even though lax.cond compiles it in always.
         """
         m = u.shape[-1]
 
@@ -379,7 +430,7 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
             return vpolish(support)
         nnz_widest = jnp.max(jnp.sum(u > 0, axis=-1))
         return jax.lax.cond(nnz_widest > support,
-                            lambda: vpolish(m),
+                            lambda: vpolish("exact"),
                             lambda: vpolish(support))
 
     polish_jit = jax.jit(polish_batch)
@@ -513,7 +564,11 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
 
     def polish_one(k: Optional[int], D1, D2, A, Us, u0K):
         """Pick the restart with the best full-precision objective."""
-        if k is not None:
+        if k == "exact":
+            Fp = jax.vmap(lambda u: exact_objective_rows(
+                invariant, D1[A[:, 0]], D2[A[:, 1]], A, u,
+                affinityeps=affinityeps).astype(u.dtype))(Us)
+        elif k is not None:
             Fp = jax.vmap(lambda u: support_polish(
                 invariant, D1, D2, A, u, affinityeps=affinityeps,
                 k=k))(Us)                          # (K,)
@@ -530,8 +585,8 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
                         u=u, score=F)
 
     def polish_batch(D1, D2s, As, Us, u0s):
-        # in-graph overflow handling, as in make_pool_pipeline: the k=m
-        # exact re-polish runs only when a converged support exceeds k
+        # in-graph overflow handling, as in make_pool_pipeline: the exact
+        # row-chunked re-polish runs only when a converged support exceeds k
         m = Us.shape[-1]
 
         def vpolish(k):
@@ -542,7 +597,7 @@ def make_pool_multistart_pipeline(invariant: PairwiseInvariant,
             return vpolish(support)
         nnz_widest = jnp.max(jnp.sum(Us > 0, axis=-1))
         return jax.lax.cond(nnz_widest > support,
-                            lambda: vpolish(m),
+                            lambda: vpolish("exact"),
                             lambda: vpolish(support))
 
     polish_jit = jax.jit(polish_batch)
