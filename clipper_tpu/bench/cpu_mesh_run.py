@@ -25,18 +25,28 @@ import sys
 
 
 def main(argv=None):
+    # the env vars take effect at XLA backend creation, not jax import
+    # (running as `python -m` necessarily imports the package, and with it
+    # jax, before main()) — so the real precondition is that no backend has
+    # been initialized yet; with one live, the virtual-device count and
+    # collective timeouts would silently not apply
     if "jax" in sys.modules:
-        raise RuntimeError(
-            "cpu_mesh_run must set XLA_FLAGS/JAX_PLATFORMS before jax is "
-            "imported — run it as a fresh process "
-            "(python -m clipper_tpu.bench.cpu_mesh_run ...); with jax "
-            "already imported the virtual-device count and collective "
-            "timeouts would silently not apply")
+        from jax._src import xla_bridge
+        if xla_bridge.backends_are_initialized():
+            raise RuntimeError(
+                "cpu_mesh_run must set XLA_FLAGS before any XLA backend is "
+                "initialized — run it as a fresh process "
+                "(python -m clipper_tpu.bench.cpu_mesh_run ...) without "
+                "touching jax.devices()/jit first")
     argv = list(argv if argv is not None else sys.argv[1:])
     ndev = 8
+    bench = "sharded"
     for a in list(argv):
         if a.startswith("--devices="):
             ndev = int(a.split("=", 1)[1])
+            argv.remove(a)
+        elif a.startswith("--bench="):
+            bench = a.split("=", 1)[1]
             argv.remove(a)
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -52,6 +62,10 @@ def main(argv=None):
 
     jax.config.update("jax_platforms", "cpu")
 
+    if bench == "symshard":
+        from clipper_tpu.bench import symshard_bench
+
+        return symshard_bench.main(argv)
     from clipper_tpu.bench import sharded_bench
 
     return sharded_bench.main(argv)

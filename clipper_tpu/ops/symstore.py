@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 
 from clipper_tpu.invariants.base import PairwiseInvariant
-from clipper_tpu.solvers import msrc_flat
+from clipper_tpu.solvers import msrc, msrc_flat
+from clipper_tpu.types import Rounding
 
 
 def tile_coords(nt: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -60,6 +61,23 @@ def _divisor_at_most(n: int, k: int) -> int:
     while n % k:
         k -= 1
     return k
+
+
+def shard_tile_coords(nt: int, D: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Upper-triangle tile coordinates padded to a multiple of D so the
+    tile list splits evenly across D devices (contiguous slices under a 1D
+    mesh sharding). Padding slots carry the INERT coordinate (nt, nt):
+    their global row/col indices are >= m_pad, so the build's validity mask
+    zeroes the whole tile, and the matvec's windowed scatter drops their
+    (zero) products out of bounds."""
+    rows, cols = tile_coords(nt)
+    T = len(rows)
+    T_pad = -(-T // D) * D
+    if T_pad != T:
+        pad = np.full(T_pad - T, nt, np.int32)
+        rows = np.concatenate([rows, pad])
+        cols = np.concatenate([cols, pad])
+    return rows, cols
 
 
 def _tile_scores(invariant: PairwiseInvariant, P1b, P2b, Ab, r, c,
@@ -84,7 +102,8 @@ def _tile_scores(invariant: PairwiseInvariant, P1b, P2b, Ab, r, c,
 
 def exact_objective(invariant: PairwiseInvariant, P1, P2, A, u, m_true,
                     tile: int = 128, affinityeps: float = 1e-4,
-                    chunk: int = 256):
+                    chunk: int = 256, rows=None, cols=None,
+                    partial: bool = False):
     """F = u'(M + I)u computed exactly in f32 by chunked tile rebuild.
 
     O(chunk t^2) transient memory at any m — the support-overflow fallback
@@ -98,10 +117,15 @@ def exact_objective(invariant: PairwiseInvariant, P1, P2, A, u, m_true,
     m_pad, d = P1.shape
     t = int(tile)
     nt = m_pad // t
-    rows_np, cols_np = tile_coords(nt)
-    T = len(rows_np)
-    rows = jnp.asarray(rows_np)
-    cols = jnp.asarray(cols_np)
+    if rows is None:
+        # rows/cols: explicit tile coordinates for the sharded engine
+        # (each device sums only its local slice); partial=True returns
+        # the local quadratic sum WITHOUT the identity term so the caller
+        # can psum partials and add u'u once on the replicated iterate
+        rows_np, cols_np = tile_coords(nt)
+        rows = jnp.asarray(rows_np)
+        cols = jnp.asarray(cols_np)
+    T = rows.shape[0]
     P1b = P1.reshape(nt, t, d)
     P2b = P2.reshape(nt, t, d)
     Ab = A.reshape(nt, t, 2)
@@ -111,8 +135,9 @@ def exact_objective(invariant: PairwiseInvariant, P1, P2, A, u, m_true,
         scores, keep = _tile_scores(invariant, P1b, P2b, Ab, r, c,
                                     m_true, t, affinityeps)
         Mt = jnp.where(keep, scores, 0.0).astype(jnp.float32)
-        q = Ub[r] @ (Mt @ Ub[c])
-        # off-diagonal tiles represent both (r, c) and its transpose
+        q = Ub[jnp.minimum(r, nt - 1)] @ (Mt @ Ub[jnp.minimum(c, nt - 1)])
+        # off-diagonal tiles represent both (r, c) and its transpose;
+        # inert padding slots (r = c = nt) have all-zero Mt -> q = 0
         return jnp.where(r == c, q, 2.0 * q)
 
     ch = _divisor_at_most(T, chunk)
@@ -125,6 +150,8 @@ def exact_objective(invariant: PairwiseInvariant, P1, P2, A, u, m_true,
         return acc + jnp.sum(vquad(r, c))
 
     F = jax.lax.fori_loop(0, T // ch, body, jnp.zeros((), jnp.float32))
+    if partial:
+        return F
     # identity term on the f32 blocks (Ub), not u's working dtype: with a
     # bf16 iterate the exact-overflow fallback must not reintroduce the
     # low-precision accumulation it exists to avoid
@@ -152,13 +179,22 @@ def build_symtiles(invariant: PairwiseInvariant, P1, P2, A, m_true,
     assert m_pad % t == 0, (m_pad, t)
     nt = m_pad // t
     rows_np, cols_np = tile_coords(nt)
-    T = len(rows_np)
-    rows = jnp.asarray(rows_np)
-    cols = jnp.asarray(cols_np)
-
     P1b = P1.reshape(nt, t, d)
     P2b = P2.reshape(nt, t, d)
     Ab = A.reshape(nt, t, 2)
+    return _build_tiles_at(invariant, P1b, P2b, Ab, jnp.asarray(rows_np),
+                           jnp.asarray(cols_np), m_true, t, affinityeps,
+                           storage_dtype, build_chunk)
+
+
+def _build_tiles_at(invariant, P1b, P2b, Ab, rows, cols, m_true, t,
+                    affinityeps, storage_dtype, build_chunk):
+    """Build the stacked tiles at explicit (rows, cols) block coordinates —
+    the core shared by the full-triangle build and the sharded engine
+    (each device builds only its local coordinate slice). Inert padding
+    coordinates (see :func:`shard_tile_coords`) produce all-zero tiles via
+    the validity mask."""
+    T = rows.shape[0]
     is_int8 = jnp.dtype(storage_dtype) == jnp.int8
 
     def one_tile(r, c):
@@ -187,19 +223,29 @@ def build_symtiles(invariant: PairwiseInvariant, P1, P2, A, m_true,
     return jax.lax.fori_loop(0, T // chunk, body, buf)
 
 
-def make_sym_dual_matvec(tiles, nt: int, out_dtype, mv_chunk: int = 4096):
+def make_sym_dual_matvec(tiles, nt: int, out_dtype, mv_chunk: int = 4096,
+                         rows=None, cols=None, axis_name=None):
     """u -> (M u, C u) over upper-triangle tile storage.
 
     Accepts (m,) vectors or (m, K) multiprobe candidates. Forward and
     transposed tile applications are MXU-batched over ``mv_chunk`` tiles
     per fori_loop step; diagonal tiles (the first nt) skip the transpose
     (their strict-lower content mirrors in-tile).
+
+    rows/cols: explicit tile coordinates matching ``tiles`` (default: the
+    full diagonal-first triangle ordering). Inert padding slots at
+    (nt, nt) are dropped by the windowed scatter. axis_name: when the tile
+    list is SHARDED over a mesh axis (each device holding a coordinate
+    slice — see :func:`solve_sharded_sym`), psum the accumulated
+    (nt, 2t, K) products over that axis so every device returns the full
+    (M u, C u); u must be replicated.
     """
     T, two_t, t = tiles.shape
     m = nt * t
-    rows_np, cols_np = tile_coords(nt)
-    rows = jnp.asarray(rows_np)
-    cols = jnp.asarray(cols_np)
+    if rows is None:
+        rows_np, cols_np = tile_coords(nt)
+        rows = jnp.asarray(rows_np)
+        cols = jnp.asarray(cols_np)
 
     if tiles.dtype == jnp.int8:
         scale = jnp.asarray(1.0 / msrc_flat._INT8_SCALE, jnp.float32)
@@ -232,27 +278,31 @@ def make_sym_dual_matvec(tiles, nt: int, out_dtype, mv_chunk: int = 4096):
             tl = prep(jax.lax.dynamic_slice_in_dim(tiles, s, chunk))
             r = jax.lax.dynamic_slice_in_dim(rows, s, chunk)
             c = jax.lax.dynamic_slice_in_dim(cols, s, chunk)
-            u_c = Ub[c]                                   # (chunk, t, K)
-            u_r = Ub[r]
+            u_c = Ub[jnp.minimum(c, nt - 1)]              # (chunk, t, K)
+            u_r = Ub[jnp.minimum(r, nt - 1)]
             # forward: (chunk, 2t, t) @ (chunk, t, K) -> (chunk, 2t, K)
             P = jax.lax.dot_general(
                 tl, u_c, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
-            acc = acc.at[r].add(P)
+            acc = acc.at[r].add(P, mode="drop")
             # transposed application T' @ u_r for both halves in one dot:
             # view the stacked tile as (chunk, 2, t, t) and contract its
             # ROW axis with u_r -> (chunk, 2, t, K). Strictly-upper tiles
-            # only (diagonal tiles — the first nt in the ordering — hold
-            # the full symmetric tile already); masked by `off`.
+            # only (diagonal tiles hold the full symmetric tile already);
+            # masked by `off`. Inert padding slots (r = c = nt) are zero
+            # tiles whose scatter drops out of bounds either way.
             off = (r != c).astype(jnp.float32)[:, None, None]
             tl4 = tl.reshape(chunk, 2, t, t)
             Q = jax.lax.dot_general(
                 tl4, u_r, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)       # (chunk, 2, t, K)
-            return acc.at[c].add(Q.reshape(chunk, 2 * t, K) * off)
+            return acc.at[c].add(Q.reshape(chunk, 2 * t, K) * off,
+                                 mode="drop")
 
         acc = jax.lax.fori_loop(
             0, nchunks, body, jnp.zeros((nt, 2 * t, K), jnp.float32))
+        if axis_name is not None:
+            acc = jax.lax.psum(acc, axis_name)
         y = (acc * scale).astype(out_dtype)
         Mu = y[:, :t].reshape(m, K)
         Cu = y[:, t:].reshape(m, K)
@@ -378,7 +428,8 @@ def solve_single(invariant: PairwiseInvariant, D1, D2, A, u0,
                  params=None, *, tile: int = 128, affinityeps: float = 1e-4,
                  storage_dtype=jnp.int8, probes: int = 1,
                  power_steps: int = 0, support: int = 512,
-                 build_chunk: int = 256, mv_chunk: int = 4096):
+                 build_chunk: int = 256, mv_chunk: int = 4096,
+                 matvec: str = "auto"):
     """End-to-end single-problem solve over symmetric-triangle storage.
 
     The capacity configuration for one chip: build tiles on device in
@@ -387,6 +438,14 @@ def solve_single(invariant: PairwiseInvariant, D1, D2, A, u0,
     (pool.support_objective — exact for converged supports), return
     (u, F, ifinal). Memory: m^2 + m t storage bytes + O(mv_chunk t^2)
     transient — m = 114,688 int8 fits a 16 GB v5e.
+
+    matvec: 'auto' | 'pallas' | 'xla' — tick matvec backend. 'pallas' is
+    the one-read kernel (make_sym_dual_matvec_pallas): each stored tile is
+    streamed HBM -> VMEM once per tick and both the forward and transposed
+    MXU contractions issue from the resident copy — ~half the per-tick HBM
+    traffic of the XLA tile matvec, which reads every off-diagonal tile
+    twice. 'auto' picks pallas on a TPU backend (elsewhere the kernel
+    would run in interpret mode, so auto falls back to XLA).
     """
     from clipper_tpu.types import Params
     if params is None:
@@ -407,21 +466,24 @@ def solve_single(invariant: PairwiseInvariant, D1, D2, A, u0,
         A = jnp.pad(A, ((0, pad), (0, 0)), constant_values=-1)
     nt = m_pad // t
 
+    if matvec == "auto":
+        # the Pallas kernel runs in (slow) interpret mode off-TPU
+        matvec = "pallas" if jax.default_backend() == "tpu" else "xla"
     u, F, ifinal = _solve_padded(
         invariant, P1, P2, A, u0, jnp.int32(m), params=params, tile=t,
         affinityeps=affinityeps,
         storage_dtype=jnp.dtype(storage_dtype).name,
         probes=probes, power_steps=power_steps, support=support,
-        build_chunk=build_chunk, mv_chunk=mv_chunk)
+        build_chunk=build_chunk, mv_chunk=mv_chunk, matvec=matvec)
     return u[:m], F, ifinal
 
 
 @functools.partial(jax.jit, static_argnames=(
     "invariant", "params", "tile", "affinityeps", "storage_dtype", "probes",
-    "power_steps", "support", "build_chunk", "mv_chunk"))
+    "power_steps", "support", "build_chunk", "mv_chunk", "matvec"))
 def _solve_padded(invariant, P1, P2, A, u0, m_true, *, params, tile,
                   affinityeps, storage_dtype, probes, power_steps, support,
-                  build_chunk, mv_chunk):
+                  build_chunk, mv_chunk, matvec="xla"):
     from clipper_tpu.parallel.pool import support_objective
 
     storage = jnp.dtype(storage_dtype)
@@ -430,7 +492,10 @@ def _solve_padded(invariant, P1, P2, A, u0, m_true, *, params, tile,
     tiles = build_symtiles(invariant, P1, P2, A, m_true, tile=tile,
                            affinityeps=affinityeps, storage_dtype=storage,
                            build_chunk=build_chunk)
-    mv = make_sym_dual_matvec(tiles, nt, u0.dtype, mv_chunk=mv_chunk)
+    if matvec == "pallas":
+        mv = make_sym_dual_matvec_pallas(tiles, nt, u0.dtype)
+    else:
+        mv = make_sym_dual_matvec(tiles, nt, u0.dtype, mv_chunk=mv_chunk)
     if power_steps:
         u0 = msrc_flat.power_init(mv, u0, power_steps)
     if probes > 1:
@@ -453,3 +518,164 @@ def _solve_padded(invariant, P1, P2, A, u0, m_true, *, params, tile,
         lambda: support_objective(invariant, P1, P2, A, u,
                                   affinityeps=affinityeps, k=k))
     return u, F, ifinal
+
+
+# ----------------------------------------------------------------------
+# sharded symmetric-triangle engine: the tile LIST distributed over a mesh
+# ----------------------------------------------------------------------
+
+def build_symshard_pipeline(invariant: PairwiseInvariant, mesh,
+                            params=None, *, tile: int = 128,
+                            affinityeps: float = 1e-4,
+                            storage_dtype=jnp.int8, probes: int = 1,
+                            power_steps: int = 0, support: int = 1024,
+                            build_chunk: int = 64, mv_chunk: int = 512):
+    """Compile the triangle-sharded pipeline over a 1D device mesh.
+
+    Composition of the two capacity levers: symmetric-triangle tile storage
+    (~half the bytes of dense stacked [M; C] — this module's single-chip
+    win) SHARDED over the mesh — total storage m^2 + O(m t) bytes split
+    evenly as contiguous slices of the diagonal-first tile list, so D
+    devices hold ~m^2/D each, vs 2 m^2 / D for parallel.sharded's dense
+    stacked blocks. The dual matvec is each device's local tile loop
+    (forward + transposed application per stored tile, exactly
+    :func:`make_sym_dual_matvec`) followed by ONE psum of the (nt, 2t, K)
+    accumulator — 2 m K f32 elements, independent of D, riding ICI.
+    Load is balanced by construction (equal tile counts per device; every
+    tile costs the same two (2t, t) x (t, K) contractions).
+
+    Answers the reference's single-node memory ceiling
+    (reference: src/clipper.cpp:29) at m >= 200k: dense stacked block
+    storage (parallel/sharded.py) needs 2 m^2 total bytes where this needs
+    m^2 — the committed demonstration point is a problem the dense engine
+    cannot hold at all (BENCH.md round 4).
+
+    Returns a jitted (rows_sh, cols_sh, P1, P2, A, u0, m_true) ->
+    (u, F, ifinal, mask) over PADDED arrays; use :func:`solve_sharded_sym`
+    for the end-to-end convenience wrapper.
+    """
+    from jax.sharding import PartitionSpec as P
+    from clipper_tpu.parallel.pool import support_objective
+
+    from clipper_tpu.types import Params
+    if params is None:
+        params = Params()
+    axis = mesh.axis_names[0]
+    D = mesh.shape[axis]
+    t = int(tile)
+    storage = jnp.dtype(storage_dtype)
+
+    def body(rows_l, cols_l, P1, P2, A, u0, m_true):
+        m_pad, d = P1.shape
+        nt = m_pad // t
+        P1b = P1.reshape(nt, t, d)
+        P2b = P2.reshape(nt, t, d)
+        Ab = A.reshape(nt, t, 2)
+        tiles = _build_tiles_at(invariant, P1b, P2b, Ab, rows_l, cols_l,
+                                m_true, t, affinityeps, storage, build_chunk)
+        mv = make_sym_dual_matvec(tiles, nt, u0.dtype, mv_chunk=mv_chunk,
+                                  rows=rows_l, cols=cols_l, axis_name=axis)
+        if power_steps:
+            u0i = msrc_flat.power_init(mv, u0, power_steps)
+        else:
+            u0i = u0
+        if probes > 1:
+            u, F, ifinal = msrc_flat.flat_solve_single_multiprobe(
+                mv, u0i, params, probes=probes)
+        else:
+            u, F, ifinal = msrc_flat.flat_solve_single(mv, u0i, params)
+
+        # full-precision polish (omega = round(F) accuracy, see
+        # _solve_padded). The predicate is computed from the REPLICATED u,
+        # so every device takes the same lax.cond branch and the psum
+        # stays collective-safe (same pattern as parallel.sharded).
+        k = min(support, m_pad)
+        nnz = jnp.sum(u > 0)
+
+        def fast(_):
+            Fs = support_objective(invariant, P1, P2, A, u,
+                                   affinityeps=affinityeps, k=k,
+                                   include_identity=False)
+            return Fs / D                  # replicated; psum restores Fs
+
+        def exact(_):
+            return exact_objective(invariant, P1, P2, A, u, m_true,
+                                   tile=t, affinityeps=affinityeps,
+                                   chunk=build_chunk, rows=rows_l,
+                                   cols=cols_l, partial=True)
+
+        part = jax.lax.cond(nnz <= k, fast, exact, None)
+        uf = u.astype(jnp.float32)
+        F = (jax.lax.psum(part.astype(jnp.float32), axis)
+             + jnp.dot(uf, uf)).astype(u.dtype)
+        return u, F, ifinal
+
+    shmapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    rounding = params.rounding
+    if rounding == Rounding.DSD:
+        rounding = Rounding.NONZERO   # facade reruns DSD host-side
+
+    @jax.jit
+    def pipeline(rows_sh, cols_sh, P1, P2, A, u0, m_true):
+        u, F, ifinal = shmapped(rows_sh, cols_sh, P1, P2, A, u0,
+                                jnp.asarray(m_true, jnp.int32))
+        mask = msrc.round_solution(u, F, rounding)
+        return u, F, ifinal, mask
+
+    return pipeline
+
+
+def solve_sharded_sym(invariant: PairwiseInvariant, D1, D2, A, u0,
+                      params=None, mesh=None, *, tile: int = 128,
+                      affinityeps: float = 1e-4, storage_dtype=jnp.int8,
+                      probes: int = 1, power_steps: int = 0,
+                      support: int = 1024, build_chunk: int = 64,
+                      mv_chunk: int = 512):
+    """End-to-end triangle-sharded solve of one huge problem.
+
+    D1/D2 are (n, d) row-major datasets; A is (m, 2); u0 is (m,). See
+    :func:`build_symshard_pipeline` for the engine design. Returns a
+    Solution (mask/u unpadded to m).
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from clipper_tpu.types import Params, Solution
+    if params is None:
+        params = Params()
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("d",))
+    axis = mesh.axis_names[0]
+    D = mesh.shape[axis]
+    t = int(tile)
+
+    A = jnp.asarray(A, jnp.int32)
+    m = A.shape[0]
+    m_pad = -(-m // t) * t
+    P1 = jnp.asarray(D1)[A[:, 0]]
+    P2 = jnp.asarray(D2)[A[:, 1]]
+    u0 = jnp.asarray(u0, P1.dtype)
+    pad = m_pad - m
+    if pad:
+        P1 = jnp.pad(P1, ((0, pad), (0, 0)))
+        P2 = jnp.pad(P2, ((0, pad), (0, 0)))
+        u0 = jnp.pad(u0, (0, pad))
+        A = jnp.pad(A, ((0, pad), (0, 0)), constant_values=-1)
+    nt = m_pad // t
+
+    rows_np, cols_np = shard_tile_coords(nt, D)
+    tile_shard = NamedSharding(mesh, P(axis))
+    rows_sh = jax.device_put(jnp.asarray(rows_np), tile_shard)
+    cols_sh = jax.device_put(jnp.asarray(cols_np), tile_shard)
+
+    pipeline = build_symshard_pipeline(
+        invariant, mesh, params, tile=t, affinityeps=affinityeps,
+        storage_dtype=storage_dtype, probes=probes, power_steps=power_steps,
+        support=support, build_chunk=build_chunk, mv_chunk=mv_chunk)
+    u, F, ifinal, mask = pipeline(rows_sh, cols_sh, P1, P2, A, u0, m)
+    return Solution(ifinal=ifinal, mask=mask[:m], u0=u0[:m], u=u[:m],
+                    score=F)
