@@ -8,7 +8,10 @@ P/R against ground truth next to the PGA solver on the same (M, C).
 
 Usage:
   python -m clipper_tpu.bench.sdp_bench [--sizes=256,1024] [--rho=0.9] \
-      [--batch=8] [--eps=1e-3] [--time-limit=0]
+      [--batch=8] [--eps=1e-3] [--time-limit=0] [--zrank=0]
+
+--zrank=r switches the Z-step to the rank-r subspace-iteration projection
+(sdp.Params.z_rank) — the large-m route; 0 is the exact full eigh.
 """
 
 from __future__ import annotations
@@ -32,9 +35,12 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     sizes = [256, 1024]
     rho, batch, eps, tlim = 0.9, 8, 1e-3, 0.0
+    zrank = 0
     for a in argv:
         if a.startswith("--sizes="):
             sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--zrank="):
+            zrank = int(a.split("=", 1)[1])
         elif a.startswith("--rho="):
             rho = float(a.split("=", 1)[1])
         elif a.startswith("--batch="):
@@ -54,7 +60,8 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     pcd0 = harness.load_bunny().astype(np.float32)
     inv = harness.default_invariant()
-    sp = sdp.Params(eps_abs=eps, eps_rel=eps, time_limit_secs=tlim)
+    sp = sdp.Params(eps_abs=eps, eps_rel=eps, time_limit_secs=tlim,
+                    z_rank=zrank)
 
     print(f"platform={jax.devices()[0].platform}  eps={eps}  rho={rho}")
     for m in sizes:
@@ -72,8 +79,10 @@ def main(argv=None):
         mask = np.zeros(m, bool)
         mask[soln.nodes] = True
         p, r = bdata.get_precision_recall(A[mask], Agt)
+        per_it = soln.t_solve / max(1, soln.iters)
         print(f"SDP    m={m:5d}: {soln.t_solve * 1e3:9.1f} ms  "
-              f"iters={soln.iters:4d}  gap={soln.gap:.2e}  "
+              f"iters={soln.iters:4d} ({per_it * 1e3:.1f} ms/iter)  "
+              f"gap={soln.gap:.2e}  "
               f"P={p * 100:.1f}% R={r * 100:.1f}%", flush=True)
 
         # --- PGA on the SAME (M, C) ---

@@ -255,6 +255,20 @@ class Clipper:
                               score=jnp.asarray(-1.0, self.dtype), t=t)
         return self._soln
 
+    @staticmethod
+    def solve_as_msrc_sdr_batched(Ms, Cs, params=None) -> list:
+        """Batched MSRC-SDR over (B, m, m) stacked affinity/constraint
+        matrices (identity diagonal, as get_affinity_matrix returns) — all
+        B relaxations solved in one vmapped device program, with each
+        solution's duality gap f64-certified host-side. An extension: the
+        reference's SCS path is strictly one-problem-per-call
+        (reference: src/sdp.cpp:88-303); batched loop-closure candidate
+        vetting is the TPU-native use case. Returns a list of B
+        ``sdp.Solution``.
+        """
+        from clipper_tpu.solvers import sdp
+        return sdp.solve_batched(Ms, Cs, params or sdp.Params())
+
     # ------------------------------------------------------------------
     # accessors (reference: src/clipper.cpp:117-166)
     # ------------------------------------------------------------------

@@ -79,6 +79,15 @@ class Params:
     adaptive_rho: bool = True         # residual balancing
     rho_mu: float = 10.0              # imbalance trigger
     rho_tau: float = 2.0              # scale factor per adjustment
+    # large-m route: rank-r spectrahedron projection via warm-started
+    # subspace iteration instead of the full O(n^3) eigh (0 = exact eigh).
+    # The optimal X of MSRC-SDR is (near) rank-1 — the simplex projection
+    # zeroes all but the top few eigenvalues — so a small r captures the
+    # exact projection once tau clears lambda_{r+1}; earlier iterations are
+    # inexact-ADMM steps, and the f64 dual-repair certificate stays valid
+    # for ANY iterate, so the reported gap remains a true bound.
+    z_rank: int = 0
+    z_power_iters: int = 2            # subspace refinement rounds per step
 
 
 @dataclasses.dataclass
@@ -137,6 +146,7 @@ class _State(NamedTuple):
     f_prev: jnp.ndarray
     g_prev: jnp.ndarray
     hist: jnp.ndarray   # valid history depth (reset on rho change)
+    Qsub: jnp.ndarray   # (n, r) warm-started subspace basis (z_rank > 0)
 
 
 def _admm_pieces(M: jnp.ndarray, C: jnp.ndarray, params: Params):
@@ -150,22 +160,48 @@ def _admm_pieces(M: jnp.ndarray, C: jnp.ndarray, params: Params):
     use_aa = params.acceleration_interval > 0 and L > 0
     d = 2 * n * n
 
+    r = min(int(params.z_rank), n) if params.z_rank else 0
+
     def x_step(Z, U, rho):
         V = Z - U + M / rho
         return jnp.where(allowed, jnp.maximum(V, 0.0), 0.0)
 
-    def z_step(V):
-        lam, Q = jnp.linalg.eigh((V + V.T) / 2)
+    def z_step_full(V, Q):
+        lam, Qe = jnp.linalg.eigh((V + V.T) / 2)
         lam = _project_simplex(lam)
-        return (Q * lam) @ Q.T
+        return (Qe * lam) @ Qe.T, Q
 
-    def fixed_point(Z, U, rho):
-        """One ADMM sweep; returns (X, Z+, U+)."""
+    def z_step_lowrank(V, Q):
+        """Rank-r spectrahedron projection by warm-started subspace
+        iteration: O(n^2 r) MXU matmuls + one (r, r) eigh instead of the
+        full O(n^3) eigh. The iteration runs on the SHIFTED matrix
+        A + c I (c = ||A||_F bounds |lambda|), so the dominant-magnitude
+        subspace is the top ALGEBRAIC eigenspace even when A is indefinite;
+        Rayleigh-Ritz values are computed on the unshifted A. Exact
+        whenever the projection's water level tau clears lambda_{r+1}
+        (the generic case: the projected Z is near rank-1); otherwise an
+        inexact-ADMM step — self-correcting, and the f64 dual-repair
+        certificate is unaffected."""
+        A = (V + V.T) / 2
+        c = jnp.sqrt(jnp.sum(A * A)) + jnp.asarray(1e-6, dtype)
+        for _ in range(max(int(params.z_power_iters), 1)):
+            Q = jnp.linalg.qr(A @ Q + c * Q)[0]
+        AQ = A @ Q
+        S = Q.T @ AQ
+        lam, W = jnp.linalg.eigh((S + S.T) / 2)   # (r,) ascending
+        lam_p = _project_simplex(lam)
+        Qr = Q @ W
+        return (Qr * lam_p) @ Qr.T, Q
+
+    z_step = z_step_lowrank if r > 0 else z_step_full
+
+    def fixed_point(Z, U, rho, Q):
+        """One ADMM sweep; returns (X, Z+, U+, Q+)."""
         X = x_step(Z, U, rho)
         Xr = alpha * X + (1.0 - alpha) * Z       # over-relaxation
-        Zn = z_step(Xr + U)
+        Zn, Qn = z_step(Xr + U, Q)
         Un = U + Xr - Zn
-        return X, Zn, Un
+        return X, Zn, Un, Qn
 
     def pack(Z, U):
         return jnp.concatenate([Z.reshape(-1), U.reshape(-1)])
@@ -174,7 +210,7 @@ def _admm_pieces(M: jnp.ndarray, C: jnp.ndarray, params: Params):
         return v[: n * n].reshape(n, n), v[n * n:].reshape(n, n)
 
     def body(s: _State):
-        X, Zp, Up = fixed_point(s.Z, s.U, s.rho)
+        X, Zp, Up, Qp = fixed_point(s.Z, s.U, s.rho, s.Qsub)
 
         if use_aa:
             s_in = pack(s.Z, s.U)
@@ -204,17 +240,18 @@ def _admm_pieces(M: jnp.ndarray, C: jnp.ndarray, params: Params):
                 Zc, Uc = unpack(cand)
                 # safeguard: accept only if the fixed-point residual at the
                 # candidate does not exceed the plain iterate's
-                _, Zc2, Uc2 = fixed_point(Zc, Uc, s.rho)
+                _, Zc2, Uc2, Qc = fixed_point(Zc, Uc, s.rho, Qp)
                 fc = pack(Zc2, Uc2) - cand
                 ok = (jnp.linalg.norm(fc) <= jnp.linalg.norm(f)) & (depth > 0)
                 Zn = jnp.where(ok, Zc2, Zp)
                 Un = jnp.where(ok, Uc2, Up)
-                return Zn, Un
+                Qn = jnp.where(ok, Qc, Qp)
+                return Zn, Un, Qn
 
             do_try = (s.it % params.acceleration_interval
                       == params.acceleration_interval - 1) & (depth > 0)
-            Zn, Un = jax.lax.cond(do_try, try_aa,
-                                  lambda _: (Zp, Up), None)
+            Zn, Un, Qp = jax.lax.cond(do_try, try_aa,
+                                      lambda _: (Zp, Up, Qp), None)
         else:
             Zn, Un = Zp, Up
             dF = s.dF
@@ -252,10 +289,11 @@ def _admm_pieces(M: jnp.ndarray, C: jnp.ndarray, params: Params):
             hist = jnp.where(rho != s.rho, 0, hist)
 
         return _State(s.it + 1, Zn, Un, rho, r_prim, r_dual, done,
-                      dF, dG, f, g, hist)
+                      dF, dG, f, g, hist, Qp)
 
     Z0 = jnp.eye(n, dtype=dtype) / n
     Lb = max(L, 1) if use_aa else 1
+    Q0 = jnp.eye(n, r, dtype=dtype) if r > 0 else jnp.zeros((1, 1), dtype)
     init = _State(jnp.int32(0), Z0, jnp.zeros_like(M),
                   jnp.asarray(params.rho, dtype),
                   jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
@@ -264,7 +302,7 @@ def _admm_pieces(M: jnp.ndarray, C: jnp.ndarray, params: Params):
                   jnp.zeros((Lb, d) if use_aa else (1, 1), dtype),
                   jnp.zeros(d if use_aa else 1, dtype),
                   jnp.zeros(d if use_aa else 1, dtype),
-                  jnp.int32(0))
+                  jnp.int32(0), Q0)
     return init, body
 
 

@@ -185,3 +185,45 @@ def test_sdr_time_limit_interrupts():
     assert lim.iters < full.iters
     assert lim.iters <= 60  # one chunk (interval*5 = 50) + slack
     assert abs(np.trace(lim.X) - 1.0) < 1e-6  # still spectrahedron-feasible
+
+
+def test_sdr_lowrank_zstep_matches_full():
+    """z_rank > 0 (subspace-iteration spectrahedron projection — the
+    large-m route) must recover the same planted clique as the exact eigh
+    Z-step, with a comparably certified gap."""
+    rng = np.random.default_rng(0)
+    n = 40
+    W = np.triu(rng.uniform(0, 0.2, size=(n, n)) *
+                (rng.uniform(size=(n, n)) < 0.2), 1)
+    clique = [4, 11, 19, 26, 33, 38]
+    for a in range(len(clique)):
+        for b in range(a + 1, len(clique)):
+            W[clique[a], clique[b]] = 1.0
+    M = W + W.T + np.eye(n)
+    C = (M > 0).astype(float)
+    full = sdp.solve(M, C)
+    low = sdp.solve(M, C, sdp.Params(z_rank=8))
+    assert set(low.nodes) == set(clique) == set(full.nodes)
+    assert low.gap <= max(2 * abs(full.gap), 0.1)
+
+
+def test_facade_sdr_batched():
+    import clipper_tpu as ct
+    rng = np.random.default_rng(3)
+    Ms, Cs = [], []
+    for _ in range(2):
+        n = 24
+        W = np.triu(rng.uniform(0, 0.3, size=(n, n)) *
+                    (rng.uniform(size=(n, n)) < 0.25), 1)
+        clique = rng.choice(n, 5, replace=False)
+        for a in range(5):
+            for b in range(a + 1, 5):
+                W[min(clique[a], clique[b]),
+                  max(clique[a], clique[b])] = 1.0
+        M = W + W.T + np.eye(n)
+        Ms.append(M)
+        Cs.append((M > 0).astype(float))
+    solns = ct.Clipper.solve_as_msrc_sdr_batched(np.stack(Ms), np.stack(Cs))
+    for b in range(2):
+        single = sdp.solve(Ms[b], Cs[b])
+        assert set(solns[b].nodes) == set(single.nodes)
