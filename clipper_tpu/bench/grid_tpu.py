@@ -7,9 +7,10 @@ protocols; the pool engine keeps a slow straggler from stalling the whole
 cell, which the lock-step batched engine suffered at m=2048/rho=0.4).
 Reports per-problem end-to-end latency and mean precision/recall.
 
-Low-outlier cells have cliques up to size m; the pool pipeline's support
-polish re-buckets k to the observed max support, so omega rounding stays
-exact at every rho (see pool._support_bucket).
+Low-outlier cells have cliques up to size m; the pool pipeline's polish
+takes its in-graph exact-overflow branch (pool.exact_objective_rows) when a
+converged support exceeds the top-k window, so omega rounding stays exact
+at every rho.
 
 Usage: python -m clipper_tpu.bench.grid_tpu [trials] [--engine=pool|batched]
 Writes a markdown table to stdout.

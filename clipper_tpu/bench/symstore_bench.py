@@ -36,6 +36,8 @@ def main(argv=None):
     rho = 0.95
     skip_dense = "--skip-dense" in argv
     mv_only = "--mv-only" in argv
+    rows_only = "--rows-only" in argv   # chunked storage only: the capacity
+                                        # point cannot hold both layouts
     tiles_block = 8
     for a in argv:
         if a.startswith("--probes="):
@@ -76,14 +78,26 @@ def main(argv=None):
           f"{T * 2 * t * t / 1e9:.2f} GB; dense stacked would be "
           f"{2 * m_pad * m_pad / 1e9:.2f} GB", flush=True)
 
-    build = jax.jit(lambda P1, P2, A: symstore.build_symtiles(
-        inv, P1, P2, A, m, tile=t, storage_dtype=jnp.int8))
+    tiles = None
+    if not rows_only:
+        build = jax.jit(lambda P1, P2, A: symstore.build_symtiles(
+            inv, P1, P2, A, m, tile=t, storage_dtype=jnp.int8))
+        t0 = time.perf_counter()
+        tiles = build(P1, P2, Aj)
+        tiles.block_until_ready()
+        np.asarray(tiles[0, 0, :1])
+        print(f"tile build: {time.perf_counter() - t0:.2f} s (incl. compile)",
+              flush=True)
+
+    G = min(32, nt)
+    chunk_r, chunk_c0, _, _ = symstore.row_chunk_coords(nt, G)
+    buildc = jax.jit(lambda P1, P2, A: symstore.build_symchunks(
+        inv, P1, P2, A, m, tile=t, G=G, storage_dtype=jnp.int8))
     t0 = time.perf_counter()
-    tiles = build(P1, P2, Aj)
-    tiles.block_until_ready()
-    np.asarray(tiles[0, 0, :1])
-    print(f"tile build: {time.perf_counter() - t0:.2f} s (incl. compile)",
-          flush=True)
+    chunks = buildc(P1, P2, Aj)
+    np.asarray(chunks[0, 0, :1])
+    print(f"chunk build (G={G}, {chunks.nbytes/1e9:.2f} GB incl. slack): "
+          f"{time.perf_counter() - t0:.2f} s (incl. compile)", flush=True)
 
     # --- matvec microbench (tiles passed as a jit ARGUMENT — the axon
     # remote compiler rejects big closure constants, CLAUDE.md) ---
@@ -102,13 +116,34 @@ def main(argv=None):
         print(f"{name:28s} K={K}: {dt * 1e3:8.2f} ms/tick", flush=True)
         return dt
 
+    if not rows_only:
+        for K in ([1, probes] if probes > 1 else [1]):
+            bench_mv("sym XLA (2-read)",
+                     lambda tl: symstore.make_sym_dual_matvec(tl, nt,
+                                                              jnp.float32),
+                     K)
+            bench_mv("sym Pallas (1-read)",
+                     lambda tl: symstore.make_sym_dual_matvec_pallas(
+                         tl, nt, jnp.float32, tiles_block=tiles_block), K)
+
+    def bench_rows(K):
+        u = (jnp.tile(u0[:, None], (1, K)) if K > 1 else u0)
+        u = jnp.pad(u, ((0, pad),) + (((0, 0),) if K > 1 else ()))
+        f = jax.jit(lambda ch, u: symstore.make_sym_dual_matvec_pallas_rows(
+            ch, chunk_r, chunk_c0, nt, jnp.float32)(u))
+        Mu, Cu = f(chunks, u)
+        np.asarray(Mu[:1])
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            Mu, Cu = f(chunks, u)
+        np.asarray(Mu[:1])
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{'sym Pallas rows (1-read)':28s} K={K}: "
+              f"{dt * 1e3:8.2f} ms/tick", flush=True)
+
     for K in ([1, probes] if probes > 1 else [1]):
-        bench_mv("sym XLA (2-read)",
-                 lambda tl: symstore.make_sym_dual_matvec(tl, nt,
-                                                          jnp.float32), K)
-        bench_mv("sym Pallas (1-read)",
-                 lambda tl: symstore.make_sym_dual_matvec_pallas(
-                     tl, nt, jnp.float32, tiles_block=tiles_block), K)
+        bench_rows(K)
 
     if not skip_dense and 2 * m_pad * m_pad < 12e9:
         from clipper_tpu.ops.affinity import score_consistency_stored
@@ -135,11 +170,13 @@ def main(argv=None):
     if mv_only:
         return
 
-    # --- end-to-end solve over the Pallas symmetric storage ---
+    del tiles
+
+    # --- end-to-end solve over the row-chunked Pallas storage ---
     @jax.jit
-    def solve(tiles, u0p):
-        mv = symstore.make_sym_dual_matvec_pallas(
-            tiles, nt, jnp.float32, tiles_block=tiles_block)
+    def solve(chunks, u0p):
+        mv = symstore.make_sym_dual_matvec_pallas_rows(
+            chunks, chunk_r, chunk_c0, nt, jnp.float32)
         u0i = msrc_flat.power_init(mv, u0p, 4)
         if probes > 1:
             u, F, i = msrc_flat.flat_solve_single_multiprobe(
@@ -157,15 +194,15 @@ def main(argv=None):
         return u, F, i
 
     u0p = jnp.pad(u0, (0, pad))
-    u, F, i = solve(tiles, u0p)
+    u, F, i = solve(chunks, u0p)
     np.asarray(F)
     # free the warmup storage BEFORE the timed rebuild: two live triangle
     # arrays at m = 114,688 are 26 GB — over a 16 GB v5e's HBM
-    del tiles
+    del chunks
     del u, F, i
     t0 = time.perf_counter()
-    tiles2 = build(P1, P2, Aj)
-    u, F, i = solve(tiles2, u0p)
+    chunks2 = buildc(P1, P2, Aj)
+    u, F, i = solve(chunks2, u0p)
     Fh = float(np.asarray(F))
     dt = time.perf_counter() - t0
     mask = np.asarray(msrc.round_solution(u[:m], F, Rounding.DSD_HEU))

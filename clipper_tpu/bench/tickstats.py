@@ -2,7 +2,10 @@
 
 Prints per-lane probe counts split into accepted steps vs line-search
 backtracks, plus the longest-lane stats that set the batch's device time.
-Run on TPU:  python -m clipper_tpu.bench.tickstats [B]
+Run on TPU:  python -m clipper_tpu.bench.tickstats [B] [m] [rho] \
+                 [--power=0] [--storage=bf16|int8|f32]
+(m/rho/power/storage let the tool point at any grid cell, e.g. the
+m=2048 rho=0.4 outlier — BENCH.md round 4.)
 """
 
 import sys
@@ -22,9 +25,18 @@ def main():
     from clipper_tpu.solvers import msrc_flat
     from clipper_tpu.types import Params
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    m = 1024
-    rho = 0.9
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(pos[0]) if pos else 128
+    m = int(pos[1]) if len(pos) > 1 else 1024
+    rho = float(pos[2]) if len(pos) > 2 else 0.9
+    power = 0
+    storage = "bf16"
+    for a in sys.argv[1:]:
+        if a.startswith("--power="):
+            power = int(a.split("=", 1)[1])
+        elif a.startswith("--storage="):
+            storage = a.split("=", 1)[1]
+    sdt = {"bf16": jnp.bfloat16, "int8": jnp.int8, "f32": None}[storage]
     dtype = jnp.float32
 
     rng = np.random.default_rng(0)
@@ -43,7 +55,9 @@ def main():
     @jax.vmap
     def run(D2, A, u0):
         M, C = score_pairwise_consistency(inv, D1, D2, A, affinityeps=1e-4)
-        mv = msrc_flat.stacked_dual_matvec(M, C, jnp.bfloat16)
+        mv = msrc_flat.stacked_dual_matvec(M, C, sdt)
+        if power:
+            u0 = msrc_flat.power_init(mv, u0, power)
         u, F, i, ticks, nback = msrc_flat.flat_solve_single(
             mv, u0, params, return_ticks=True)
         return i, ticks, nback

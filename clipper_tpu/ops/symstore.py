@@ -489,12 +489,21 @@ def _solve_padded(invariant, P1, P2, A, u0, m_true, *, params, tile,
     storage = jnp.dtype(storage_dtype)
     m_pad = P1.shape[0]
     nt = m_pad // tile
-    tiles = build_symtiles(invariant, P1, P2, A, m_true, tile=tile,
-                           affinityeps=affinityeps, storage_dtype=storage,
-                           build_chunk=build_chunk)
     if matvec == "pallas":
-        mv = make_sym_dual_matvec_pallas(tiles, nt, u0.dtype)
+        # row-chunked layout: the fast one-read kernel (~G tiles of slack
+        # per short row — a few % of the triangle at G=32)
+        G = min(32, nt)
+        chunk_r, chunk_c0, _, _ = row_chunk_coords(nt, G)
+        chunks = build_symchunks(invariant, P1, P2, A, m_true, tile=tile,
+                                 G=G, affinityeps=affinityeps,
+                                 storage_dtype=storage,
+                                 build_chunk=max(1, build_chunk // G))
+        mv = make_sym_dual_matvec_pallas_rows(chunks, chunk_r, chunk_c0,
+                                              nt, u0.dtype)
     else:
+        tiles = build_symtiles(invariant, P1, P2, A, m_true, tile=tile,
+                               affinityeps=affinityeps, storage_dtype=storage,
+                               build_chunk=build_chunk)
         mv = make_sym_dual_matvec(tiles, nt, u0.dtype, mv_chunk=mv_chunk)
     if power_steps:
         u0 = msrc_flat.power_init(mv, u0, power_steps)
@@ -521,6 +530,246 @@ def _solve_padded(invariant, P1, P2, A, u0, m_true, *, params, tile,
 
 
 # ----------------------------------------------------------------------
+# row-chunked triangle storage: the fast Pallas layout
+# ----------------------------------------------------------------------
+
+def row_chunk_coords(nt: int, G: int):
+    """Chunk descriptors for row-major triangle storage.
+
+    Row-block r owns tiles (r, r..nt-1); they are stored CONTIGUOUSLY as
+    ceil((nt - r)/G) chunks of G tiles each (short rows padded with inert
+    (nt, nt) slots — zero tiles, see shard_tile_coords). Returns
+    (chunk_r, chunk_c0) of shape (NC,) plus the flat per-tile (rows, cols)
+    of shape (NC * G,) for the chunk-major build.
+
+    Why this layout exists: the tile-list Pallas matvec spends ~0.25 us of
+    sequential per-tile work (3 tiny matmuls + dynamic scatters) — at
+    m=65,536 that is 131k tiles = ~33 ms/tick regardless of tiles_block
+    (measured round 4: TB=8 and TB=32 both 35.4 ms). A chunk is ONE
+    (2t, G t) operand: the kernel runs two big-contraction MXU matmuls per
+    chunk instead of 3 G tiny ones.
+    """
+    chunk_r, chunk_c0, rows, cols = [], [], [], []
+    for r in range(nt):
+        c = r
+        while c < nt:
+            chunk_r.append(r)
+            chunk_c0.append(c)
+            for g in range(G):
+                cc = c + g
+                rows.append(r if cc < nt else nt)
+                cols.append(cc if cc < nt else nt)
+            c += G
+    return (np.asarray(chunk_r, np.int32), np.asarray(chunk_c0, np.int32),
+            np.asarray(rows, np.int32), np.asarray(cols, np.int32))
+
+
+def build_symchunks(invariant: PairwiseInvariant, P1, P2, A, m_true,
+                    tile: int = 128, G: int = 32,
+                    affinityeps: float = 1e-4, storage_dtype=jnp.int8,
+                    build_chunk: int = 8, chunk_coords=None):
+    """(NC, 2t, G t) chunk-major triangle storage (see row_chunk_coords).
+
+    Same per-tile scores/masks/quantization as build_symtiles (shared
+    _tile_scores); only the memory layout differs — each chunk stacks its
+    G tiles side by side so the matvec reads one contiguous operand.
+    """
+    m_pad, d = P1.shape
+    t = int(tile)
+    assert m_pad % t == 0, (m_pad, t)
+    nt = m_pad // t
+    if chunk_coords is None:
+        chunk_r, chunk_c0, _, _ = row_chunk_coords(nt, G)
+    else:
+        # explicit (possibly device-local) chunk descriptors — the sharded
+        # engine builds only its slice of the chunk list
+        chunk_r, chunk_c0 = chunk_coords
+    NC = chunk_r.shape[0]
+    crs = jnp.asarray(chunk_r)
+    cc0s = jnp.asarray(chunk_c0)
+    P1b = P1.reshape(nt, t, d)
+    P2b = P2.reshape(nt, t, d)
+    Ab = A.reshape(nt, t, 2)
+    is_int8 = jnp.dtype(storage_dtype) == jnp.int8
+
+    def one_tile(r, c):
+        scores, keep = _tile_scores(invariant, P1b, P2b, Ab, r, c,
+                                    m_true, t, affinityeps)
+        if is_int8:
+            from clipper_tpu.solvers.msrc_flat import _INT8_SCALE
+            Mq = jnp.clip(jnp.round(jnp.where(keep, scores, 0.0)
+                                    * _INT8_SCALE), 0, 127).astype(jnp.int8)
+            Cq = jnp.where(keep, jnp.int8(127), jnp.int8(0))
+        else:
+            Mq = jnp.where(keep, scores, 0.0).astype(storage_dtype)
+            Cq = keep.astype(storage_dtype)
+        return jnp.concatenate([Mq, Cq], axis=0)       # (2t, t)
+
+    def one_chunk(r, c0):
+        return jnp.concatenate([one_tile(r, c0 + g) for g in range(G)],
+                               axis=1)                 # (2t, G t)
+
+    chunk = _divisor_at_most(NC, build_chunk)
+    vchunk = jax.vmap(one_chunk)
+    buf = jnp.zeros((NC, 2 * t, G * t), storage_dtype)
+
+    def body(kk, buf):
+        s = kk * chunk
+        r = jax.lax.dynamic_slice_in_dim(crs, s, chunk)
+        c0 = jax.lax.dynamic_slice_in_dim(cc0s, s, chunk)
+        return jax.lax.dynamic_update_slice(buf, vchunk(r, c0), (s, 0, 0))
+
+    return jax.lax.fori_loop(0, NC // chunk, body, buf)
+
+
+def row_chunk_table(chunk_r, chunk_c0, nt: int) -> np.ndarray:
+    """Row table for the rows kernel's in-kernel coordinate recovery.
+
+    Layout (int32, length 2 nt + 3): S = table[0 : nt + 2] with
+    S[r] = first chunk index whose row is >= r (S[nt + 1] = NC sentinel),
+    then first_c0 = table[nt + 2 : 2 nt + 3] with first_c0[r] = c0 of row
+    r's first chunk in THIS list. A chunk list may be any row-ordered
+    slice of the canonical layout (a device-local shard starts mid-row;
+    its first row's first_c0 encodes the offset); inert pad descriptors
+    (r = nt) sort last by construction.
+    """
+    chunk_r = np.asarray(chunk_r, np.int32)
+    chunk_c0 = np.asarray(chunk_c0, np.int32)
+    NC = len(chunk_r)
+    assert (np.diff(chunk_r) >= 0).all(), "chunks must be row-ordered"
+    S = np.empty(nt + 2, np.int32)
+    S[: nt + 1] = np.searchsorted(chunk_r, np.arange(nt + 1), side="left")
+    S[nt + 1] = NC
+    first_c0 = np.zeros(nt + 1, np.int32)
+    for rr in range(nt + 1):
+        if S[rr] < (S[rr + 1] if rr < nt + 1 else NC) and S[rr] < NC:
+            first_c0[rr] = chunk_c0[S[rr]]
+    return np.concatenate([S, first_c0]).astype(np.int32)
+
+
+def make_sym_dual_matvec_pallas_rows(chunks, chunk_r, chunk_c0, nt: int,
+                                     out_dtype, table=None):
+    """One-read row-chunked Pallas dual matvec: u -> (M u, C u).
+
+    Per grid step (one chunk): stream the (2t, G t) stacked [M; C] chunk
+    HBM -> VMEM once, then
+      forward:    y[K, r t : r t + t]   (+= for both halves)
+                  = u[:, c0 t : c0 t + G t] @ chunk'          (contract G t)
+      transposed: y[K, c0 t : c0 t + G t]
+                  += u[:, r t : r t + t] @ M-half              (contract t)
+    Both contractions are MXU matmuls with 128-multiple contraction dims;
+    u and the (K, 2 m_ext) accumulator live row-major in VMEM (K sublanes,
+    m lanes — no lane-padding at K = 1, no in-kernel relayouts; every
+    dynamic address is a static-size, dynamic-start slice). The diagonal
+    tile (first tile of each row's first chunk) already holds the full
+    symmetric content, so its transposed application is masked out.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NC, two_t, Gt = chunks.shape
+    t = two_t // 2
+    G = Gt // t
+    m = nt * t
+    m_ext = (nt + G) * t          # slack so pad-chunk slices stay in bounds
+    # The kernel cannot carry per-chunk coords: a scalar-prefetch operand
+    # costs ~256 B of SMEM PER SCALAR (measured: (4352, 2) i32 asked for
+    # 2.2 MB of the 1 MB SMEM). Instead prefetch the O(nt) row table from
+    # :func:`row_chunk_table` and recover (r, c0) from the program id by
+    # in-kernel binary search — O(log nt) scalar SMEM reads per step.
+    if table is None:
+        table = jnp.asarray(row_chunk_table(chunk_r, chunk_c0, nt))
+    n_srch = max(1, int(np.ceil(np.log2(nt + 1))) + 1)
+
+    is_int8 = chunks.dtype == jnp.int8
+    scale = jnp.asarray(1.0 / msrc_flat._INT8_SCALE if is_int8 else 1.0,
+                        jnp.float32)
+    cdt = jnp.bfloat16 if is_int8 else chunks.dtype
+
+    def kernel(table_ref, chunk_ref, u_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        i = pl.program_id(0)
+        # binary search S for r: S[lo] <= i < S[hi] invariant, init
+        # lo = 0, hi = nt + 1 (S[nt + 1] = NC > i always)
+        def srch(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            go = table_ref[mid] <= i
+            return (jnp.where(go, mid, lo), jnp.where(go, hi, mid))
+
+        lo, _ = jax.lax.fori_loop(
+            0, n_srch, srch, (jnp.int32(0), jnp.int32(nt + 1)))
+        r = jnp.minimum(lo, nt)                # pad rows clamp in-bounds
+        c0 = table_ref[nt + 2 + r] + (i - table_ref[r]) * G
+        c0 = jnp.clip(c0, 0, nt)               # pad chunks are zero tiles
+        ch = chunk_ref[0].astype(cdt)                  # (2t, G t)
+        u_c = u_ref[:, pl.dslice(c0 * t, Gt)]          # (K, G t)
+        # forward: (K, G t) x (2t, G t) -> (K, 2t)
+        P = jax.lax.dot_general(
+            u_c, ch, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:, pl.dslice(r * t, t)] += P[:, :t]
+        out_ref[:, pl.dslice(m_ext + r * t, t)] += P[:, t:]
+
+        # transposed halves: (K, t) x (t, G t) -> (K, G t); the diagonal
+        # tile (c0 == r, first t columns) is already complete in-forward
+        u_r = u_ref[:, pl.dslice(r * t, t)]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Gt), 1)
+        keep = ((lane >= t) | (c0 != r)).astype(jnp.float32)
+        QM = jax.lax.dot_general(
+            u_r, ch[:t], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * keep
+        QC = jax.lax.dot_general(
+            u_r, ch[t:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * keep
+        out_ref[:, pl.dslice(c0 * t, Gt)] += QM
+        out_ref[:, pl.dslice(m_ext + c0 * t, Gt)] += QC
+
+    def mv(u):
+        vec = u.ndim == 1
+        U = u[:, None] if vec else u
+        K = U.shape[1]
+        Ub = jnp.zeros((K, m_ext), cdt).at[:, :m].set(U.T.astype(cdt))
+
+        # coords ride as a SCALAR-PREFETCH operand: available whole to the
+        # kernel from SMEM without per-step windowing (a windowed SMEM
+        # BlockSpec replicates the array ~64x and blows the 1 MB SMEM; the
+        # prefetch mechanism is the standard route for data-dependent
+        # addressing — same pattern as block-sparse kernels' block maps)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NC,),
+            in_specs=[
+                pl.BlockSpec((1, two_t, Gt), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((K, m_ext), lambda i, c: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((K, 2 * m_ext), lambda i, c: (0, 0)),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((K, 2 * m_ext), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * m * m * K,
+                bytes_accessed=NC * two_t * Gt * chunks.dtype.itemsize,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=jax.default_backend() != "tpu",
+        )(table, chunks, Ub)
+
+        y = (out * scale).astype(out_dtype)            # (K, 2 m_ext)
+        Mu = y[:, :m].T
+        Cu = y[:, m_ext:m_ext + m].T
+        return (Mu[:, 0], Cu[:, 0]) if vec else (Mu, Cu)
+
+    return mv
+
+
+# ----------------------------------------------------------------------
 # sharded symmetric-triangle engine: the tile LIST distributed over a mesh
 # ----------------------------------------------------------------------
 
@@ -529,7 +778,8 @@ def build_symshard_pipeline(invariant: PairwiseInvariant, mesh,
                             affinityeps: float = 1e-4,
                             storage_dtype=jnp.int8, probes: int = 1,
                             power_steps: int = 0, support: int = 1024,
-                            build_chunk: int = 64, mv_chunk: int = 512):
+                            build_chunk: int = 64, mv_chunk: int = 512,
+                            matvec: str = "auto", G: int = 32):
     """Compile the triangle-sharded pipeline over a 1D device mesh.
 
     Composition of the two capacity levers: symmetric-triangle tile storage
@@ -550,7 +800,17 @@ def build_symshard_pipeline(invariant: PairwiseInvariant, mesh,
     m^2 — the committed demonstration point is a problem the dense engine
     cannot hold at all (BENCH.md round 4).
 
-    Returns a jitted (rows_sh, cols_sh, P1, P2, A, u0, m_true) ->
+    matvec: 'auto' | 'xla' | 'pallas' — the per-device local matvec.
+    'pallas' is the row-chunked one-read kernel
+    (make_sym_dual_matvec_pallas_rows) over this device's chunk slice,
+    psum-reduced — the production multi-chip configuration; 'auto' picks
+    it on TPU backends (off-TPU the kernel would run in interpret mode).
+    The coordinate inputs differ by mode: 'xla' shards the flat tile list
+    (rows, cols); 'pallas' shards the chunk descriptors AND the matching
+    flat tile list (crs, cc0, rows, cols) — :func:`solve_sharded_sym`
+    prepares both.
+
+    Returns a jitted (<coords...>, P1, P2, A, u0, m_true) ->
     (u, F, ifinal, mask) over PADDED arrays; use :func:`solve_sharded_sym`
     for the end-to-end convenience wrapper.
     """
@@ -560,21 +820,42 @@ def build_symshard_pipeline(invariant: PairwiseInvariant, mesh,
     from clipper_tpu.types import Params
     if params is None:
         params = Params()
+    if matvec == "auto":
+        matvec = "pallas" if jax.default_backend() == "tpu" else "xla"
     axis = mesh.axis_names[0]
     D = mesh.shape[axis]
     t = int(tile)
     storage = jnp.dtype(storage_dtype)
 
-    def body(rows_l, cols_l, P1, P2, A, u0, m_true):
+    def body(*args):
+        if matvec == "pallas":
+            (crs_l, cc0_l, rows_l, cols_l, table_l,
+             P1, P2, A, u0, m_true) = args
+        else:
+            rows_l, cols_l, P1, P2, A, u0, m_true = args
         m_pad, d = P1.shape
         nt = m_pad // t
         P1b = P1.reshape(nt, t, d)
         P2b = P2.reshape(nt, t, d)
         Ab = A.reshape(nt, t, 2)
-        tiles = _build_tiles_at(invariant, P1b, P2b, Ab, rows_l, cols_l,
-                                m_true, t, affinityeps, storage, build_chunk)
-        mv = make_sym_dual_matvec(tiles, nt, u0.dtype, mv_chunk=mv_chunk,
-                                  rows=rows_l, cols=cols_l, axis_name=axis)
+        if matvec == "pallas":
+            chunks = build_symchunks(
+                invariant, P1, P2, A, m_true, tile=t, G=G,
+                affinityeps=affinityeps, storage_dtype=storage,
+                build_chunk=max(1, build_chunk // G),
+                chunk_coords=(crs_l, cc0_l))
+            mv_local = make_sym_dual_matvec_pallas_rows(
+                chunks, crs_l, cc0_l, nt, u0.dtype, table=table_l)
+
+            def mv(u):
+                return jax.lax.psum(mv_local(u), axis)
+        else:
+            tiles = _build_tiles_at(invariant, P1b, P2b, Ab, rows_l,
+                                    cols_l, m_true, t, affinityeps,
+                                    storage, build_chunk)
+            mv = make_sym_dual_matvec(tiles, nt, u0.dtype,
+                                      mv_chunk=mv_chunk, rows=rows_l,
+                                      cols=cols_l, axis_name=axis)
         if power_steps:
             u0i = msrc_flat.power_init(mv, u0, power_steps)
         else:
@@ -610,9 +891,10 @@ def build_symshard_pipeline(invariant: PairwiseInvariant, mesh,
              + jnp.dot(uf, uf)).astype(u.dtype)
         return u, F, ifinal
 
+    ncoords = 5 if matvec == "pallas" else 2
     shmapped = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
+        in_specs=(P(axis),) * ncoords + (P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
@@ -622,8 +904,10 @@ def build_symshard_pipeline(invariant: PairwiseInvariant, mesh,
         rounding = Rounding.NONZERO   # facade reruns DSD host-side
 
     @jax.jit
-    def pipeline(rows_sh, cols_sh, P1, P2, A, u0, m_true):
-        u, F, ifinal = shmapped(rows_sh, cols_sh, P1, P2, A, u0,
+    def pipeline(*args):
+        coords = args[:ncoords]
+        P1, P2, A, u0, m_true = args[ncoords:]
+        u, F, ifinal = shmapped(*coords, P1, P2, A, u0,
                                 jnp.asarray(m_true, jnp.int32))
         mask = msrc.round_solution(u, F, rounding)
         return u, F, ifinal, mask
@@ -636,7 +920,8 @@ def solve_sharded_sym(invariant: PairwiseInvariant, D1, D2, A, u0,
                       affinityeps: float = 1e-4, storage_dtype=jnp.int8,
                       probes: int = 1, power_steps: int = 0,
                       support: int = 1024, build_chunk: int = 64,
-                      mv_chunk: int = 512):
+                      mv_chunk: int = 512, matvec: str = "auto",
+                      G: int = 32):
     """End-to-end triangle-sharded solve of one huge problem.
 
     D1/D2 are (n, d) row-major datasets; A is (m, 2); u0 is (m,). See
@@ -667,15 +952,43 @@ def solve_sharded_sym(invariant: PairwiseInvariant, D1, D2, A, u0,
         A = jnp.pad(A, ((0, pad), (0, 0)), constant_values=-1)
     nt = m_pad // t
 
-    rows_np, cols_np = shard_tile_coords(nt, D)
+    if matvec == "auto":
+        matvec = "pallas" if jax.default_backend() == "tpu" else "xla"
     tile_shard = NamedSharding(mesh, P(axis))
-    rows_sh = jax.device_put(jnp.asarray(rows_np), tile_shard)
-    cols_sh = jax.device_put(jnp.asarray(cols_np), tile_shard)
+    if matvec == "pallas":
+        # chunk descriptors + the matching flat tile list, both padded to
+        # a D-multiple of chunks with inert (nt, nt) slots so the shards
+        # stay chunk-aligned and contiguous
+        crs, cc0s, trows, tcols = row_chunk_coords(nt, G)
+        NC = len(crs)
+        NC_pad = -(-NC // D) * D
+        if NC_pad != NC:
+            pad_c = np.full(NC_pad - NC, nt, np.int32)
+            pad_t = np.full((NC_pad - NC) * G, nt, np.int32)
+            crs = np.concatenate([crs, pad_c])
+            cc0s = np.concatenate([cc0s, pad_c])
+            trows = np.concatenate([trows, pad_t])
+            tcols = np.concatenate([tcols, pad_t])
+        # per-device row tables for the kernel's in-kernel (r, c0)
+        # recovery (a device's slice starts mid-row; its table encodes
+        # the offset), flattened so P(axis) hands each device its own
+        NC_loc = NC_pad // D
+        tables = np.concatenate([
+            row_chunk_table(crs[dd * NC_loc:(dd + 1) * NC_loc],
+                            cc0s[dd * NC_loc:(dd + 1) * NC_loc], nt)
+            for dd in range(D)])
+        coords = tuple(jax.device_put(jnp.asarray(x), tile_shard)
+                       for x in (crs, cc0s, trows, tcols, tables))
+    else:
+        rows_np, cols_np = shard_tile_coords(nt, D)
+        coords = (jax.device_put(jnp.asarray(rows_np), tile_shard),
+                  jax.device_put(jnp.asarray(cols_np), tile_shard))
 
     pipeline = build_symshard_pipeline(
         invariant, mesh, params, tile=t, affinityeps=affinityeps,
         storage_dtype=storage_dtype, probes=probes, power_steps=power_steps,
-        support=support, build_chunk=build_chunk, mv_chunk=mv_chunk)
-    u, F, ifinal, mask = pipeline(rows_sh, cols_sh, P1, P2, A, u0, m)
+        support=support, build_chunk=build_chunk, mv_chunk=mv_chunk,
+        matvec=matvec, G=G)
+    u, F, ifinal, mask = pipeline(*coords, P1, P2, A, u0, m)
     return Solution(ifinal=ifinal, mask=mask[:m], u0=u0[:m], u=u[:m],
                     score=F)

@@ -99,3 +99,30 @@ def test_symshard_overflow_exact_polish():
     F_ref = float(u @ (np.asarray(M, np.float64) @ u) + u @ u)
     assert abs(float(soln.score) - F_ref) < 0.2, (float(soln.score), F_ref)
     assert int(np.asarray(soln.mask).sum()) >= 0.8 * n_inliers
+
+
+def test_symshard_pallas_rows_matches_xla_mode():
+    """matvec='pallas' (row-chunked kernel per device + psum, interpret
+    mode off-TPU) must agree with the XLA tile-list mode on the same
+    problem — the production multi-chip TPU configuration."""
+    rng = np.random.default_rng(9)
+    m = 100
+    D1, D2, A = make_problem(rng, n=120, n_inliers=40, m=m)
+    u0 = jnp.asarray(rng.uniform(size=m), jnp.float32)
+    D1f, D2f = D1.astype(jnp.float32), D2.astype(jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    kw = dict(tile=32, storage_dtype=jnp.int8, power_steps=4, support=64,
+              build_chunk=3, mv_chunk=2)
+    s_x = symstore.solve_sharded_sym(
+        INV, D1f, D2f, A, u0, ct.Params(), mesh, matvec="xla", **kw)
+    s_p = symstore.solve_sharded_sym(
+        INV, D1f, D2f, A, u0, ct.Params(), mesh, matvec="pallas", G=2, **kw)
+
+    a = set(np.flatnonzero(np.asarray(s_x.mask)))
+    b = set(np.flatnonzero(np.asarray(s_p.mask)))
+    iou = len(a & b) / max(1, len(a | b))
+    assert iou >= 0.9, (sorted(a), sorted(b))
+    assert len(b) > 0
+    assert abs(float(s_p.score) - float(s_x.score)) / max(
+        1.0, float(s_x.score)) < 0.05

@@ -153,3 +153,50 @@ def test_sym_matvec_pallas_matches_xla(storage, K):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(Cu_p), np.asarray(Cu_x),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("storage", [None, jnp.int8])
+@pytest.mark.parametrize("K", [1, 4])
+def test_sym_matvec_pallas_rows_matches_xla(storage, K):
+    """The row-chunked one-read kernel (build_symchunks +
+    make_sym_dual_matvec_pallas_rows) must agree with the XLA tile matvec
+    (interpret mode off-TPU; real-chip timings in BENCH.md round 4)."""
+    rng = np.random.default_rng(11)
+    D1, D2, A = make_problem(rng, m=96)
+    m, t, G = 96, 32, 2
+    nt = m // t
+    P1 = D1[A[:, 0]].astype(jnp.float32)
+    P2 = D2[A[:, 1]].astype(jnp.float32)
+    sd = storage or jnp.float32
+
+    tiles = jax.jit(lambda P1, P2, A: symstore.build_symtiles(
+        INV, P1, P2, A, m, tile=t, storage_dtype=sd))(P1, P2, A)
+    mv_x = symstore.make_sym_dual_matvec(tiles, nt, jnp.float32, mv_chunk=2)
+
+    chunk_r, chunk_c0, rows, cols = symstore.row_chunk_coords(nt, G)
+    chunks = jax.jit(lambda P1, P2, A: symstore.build_symchunks(
+        INV, P1, P2, A, m, tile=t, G=G, storage_dtype=sd,
+        build_chunk=2))(P1, P2, A)
+    assert chunks.shape == (len(chunk_r), 2 * t, G * t)
+    # chunk-major storage holds the same tiles as the canonical build
+    tl = np.asarray(tiles)
+    t_r, t_c = symstore.tile_coords(nt)
+    canon = {(int(r), int(c)): tl[k] for k, (r, c) in enumerate(zip(t_r, t_c))}
+    ch = np.asarray(chunks)
+    for k, (r, c) in enumerate(zip(rows, cols)):
+        blk = ch[k // G, :, (k % G) * t:(k % G + 1) * t]
+        if int(r) < nt:
+            np.testing.assert_array_equal(blk, canon[(int(r), int(c))])
+        else:
+            assert not blk.any()
+
+    mv_p = symstore.make_sym_dual_matvec_pallas_rows(
+        chunks, chunk_r, chunk_c0, nt, jnp.float32)
+    u = jnp.asarray(rng.uniform(size=(m, K)) if K > 1
+                    else rng.uniform(size=m), jnp.float32)
+    Mu_x, Cu_x = mv_x(u)
+    Mu_p, Cu_p = mv_p(u)
+    np.testing.assert_allclose(np.asarray(Mu_p), np.asarray(Mu_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Cu_p), np.asarray(Cu_x),
+                               rtol=2e-5, atol=2e-5)
