@@ -69,10 +69,10 @@ def main(argv=None):
                 q1 = jnp.zeros((tile, tile), jnp.float32)
                 q2 = jnp.zeros((tile, tile), jnp.float32)
                 for k in range(d):
-                    d1 = (jax.lax.slice_in_dim(P1r, k, k + 1, 1)
-                          - jax.lax.slice_in_dim(P1ct, k, k + 1, 0))
-                    d2 = (jax.lax.slice_in_dim(P2r, k, k + 1, 1)
-                          - jax.lax.slice_in_dim(P2ct, k, k + 1, 0))
+                    d1 = (jax.lax.slice_in_dim(P1r, k, k + 1, axis=1)
+                          - jax.lax.slice_in_dim(P1ct, k, k + 1, axis=0))
+                    d2 = (jax.lax.slice_in_dim(P2r, k, k + 1, axis=1)
+                          - jax.lax.slice_in_dim(P2ct, k, k + 1, axis=0))
                     q1 = q1 + d1 * d1
                     q2 = q2 + d2 * d2
                 if variant == "full":
@@ -100,10 +100,10 @@ def main(argv=None):
                 Ar = Ar_ref[...]
                 Act = Act_ref[...]
                 distinct = ~(
-                    (jax.lax.slice_in_dim(Ar, 0, 1, 1)
-                     == jax.lax.slice_in_dim(Act, 0, 1, 0))
-                    | (jax.lax.slice_in_dim(Ar, 1, 2, 1)
-                       == jax.lax.slice_in_dim(Act, 1, 2, 0)))
+                    (jax.lax.slice_in_dim(Ar, 0, 1, axis=1)
+                     == jax.lax.slice_in_dim(Act, 0, 1, axis=0))
+                    | (jax.lax.slice_in_dim(Ar, 1, 2, axis=1)
+                       == jax.lax.slice_in_dim(Act, 1, 2, axis=0)))
                 gr = i * tile + jax.lax.broadcasted_iota(
                     jnp.int32, (tile, tile), 0)
                 gc = j * tile + jax.lax.broadcasted_iota(

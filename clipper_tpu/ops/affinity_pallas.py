@@ -127,11 +127,15 @@ def score_consistency_stored_pallas(
     (distance matrices, scores) — ~4 full HBM round trips the fused kernel
     deletes; measured on the headline build stage in BENCH.md round 3.
 
-    The third (fastest) grid axis s selects which half is written: s=0 the
-    M tile at rows [i*T, i*T+T), s=1 the C tile at rows [m_pad + i*T, ...).
-    The tile's scores are recomputed for s=1 — VMEM-resident recompute is
-    ~1 us against an HBM pass it replaces; inputs are block-cached by
-    Pallas across the two s steps since their index maps ignore s.
+    Both halves are written from ONE grid step: the output is laid out
+    (2, m_pad, m_pad) — C-contiguous identical to the stacked (2 m_pad,
+    m_pad), so the final reshape is free — and each program writes the
+    (2, tile, tile) block holding its M tile and C tile. The previous
+    design used a third grid axis s in {0, 1} with the C tile stashed in
+    VMEM scratch; that doubles the grid steps and pays a second
+    VMEM -> HBM sweep — measured ~1/2 of the pure-write floor at the
+    headline point (build_probe round 4: writeonly floor 9.6 ms of the
+    17.1 ms kernel at B=512, m=1024).
 
     Requires ``invariant.symmetric`` (both built-ins are); asymmetric
     custom invariants need the mirrored XLA path.
@@ -169,70 +173,59 @@ def score_consistency_stored_pallas(
             "score_consistency_stored for invariants without it")
 
     def kernel(mt_ref, P1r_ref, P1ct_ref, P2r_ref, P2ct_ref, Ar_ref,
-               Act_ref, out_ref, c_scr):
+               Act_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        s = pl.program_id(2)
+        scores = score_block_t(P1r_ref[...], P1ct_ref[...],
+                               P2r_ref[...], P2ct_ref[...])
+        Ar = Ar_ref[...]
+        Act = Act_ref[...]
+        distinct = ~(
+            (jax.lax.slice_in_dim(Ar, 0, 1, axis=1)
+             == jax.lax.slice_in_dim(Act, 0, 1, axis=0))
+            | (jax.lax.slice_in_dim(Ar, 1, 2, axis=1)
+               == jax.lax.slice_in_dim(Act, 1, 2, axis=0)))
+        gr = i * tile + jax.lax.broadcasted_iota(
+            jnp.int32, (tile, tile), 0)
+        gc = j * tile + jax.lax.broadcasted_iota(
+            jnp.int32, (tile, tile), 1)
+        lim = mt_ref[0, 0]
+        keep = (distinct & (gr != gc) & (gr < lim) & (gc < lim)
+                & (scores > affinityeps))
+        # selects stay in f32 until one final convert: Mosaic cannot
+        # relayout the (8, 128)-tiled f32-comparison mask into the
+        # (32, 128) int8 tiling an int8-select would need
+        if is_int8:
+            Mq = jnp.clip(jnp.round(jnp.where(keep, scores, 0.0)
+                                    * _INT8_SCALE), 0, 127)
+            Cq = jnp.where(keep, _INT8_SCALE, 0.0)
+        else:
+            Mq = jnp.where(keep, scores, 0.0)
+            Cq = jnp.where(keep, 1.0, 0.0)
+        out_ref[0] = Mq.astype(storage_dtype)
+        out_ref[1] = Cq.astype(storage_dtype)
 
-        # s is the fastest grid axis: (i, j, 0) computes the tile once and
-        # writes M; (i, j, 1) writes the C tile stashed in VMEM scratch
-        @pl.when(s == 0)
-        def _compute_and_write_m():
-            scores = score_block_t(P1r_ref[...], P1ct_ref[...],
-                                   P2r_ref[...], P2ct_ref[...])
-            Ar = Ar_ref[...]
-            Act = Act_ref[...]
-            distinct = ~(
-                (jax.lax.slice_in_dim(Ar, 0, 1, axis=1)
-                 == jax.lax.slice_in_dim(Act, 0, 1, axis=0))
-                | (jax.lax.slice_in_dim(Ar, 1, 2, axis=1)
-                   == jax.lax.slice_in_dim(Act, 1, 2, axis=0)))
-            gr = i * tile + jax.lax.broadcasted_iota(
-                jnp.int32, (tile, tile), 0)
-            gc = j * tile + jax.lax.broadcasted_iota(
-                jnp.int32, (tile, tile), 1)
-            lim = mt_ref[0, 0]
-            keep = (distinct & (gr != gc) & (gr < lim) & (gc < lim)
-                    & (scores > affinityeps))
-            # selects stay in f32 until one final convert: Mosaic cannot
-            # relayout the (8, 128)-tiled f32-comparison mask into the
-            # (32, 128) int8 tiling an int8-select would need
-            if is_int8:
-                Mq = jnp.clip(jnp.round(jnp.where(keep, scores, 0.0)
-                                        * _INT8_SCALE), 0, 127)
-                Cq = jnp.where(keep, _INT8_SCALE, 0.0)
-            else:
-                Mq = jnp.where(keep, scores, 0.0)
-                Cq = jnp.where(keep, 1.0, 0.0)
-            out_ref[...] = Mq.astype(storage_dtype)
-            c_scr[...] = Cq.astype(storage_dtype)
-
-        @pl.when(s == 1)
-        def _write_c():
-            out_ref[...] = c_scr[...]
-
-    grid = (nT, nT, 2)
-    row_spec = pl.BlockSpec((tile, d), lambda i, j, s: (i, 0),
+    grid = (nT, nT)
+    row_spec = pl.BlockSpec((tile, d), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
-    colt_spec = pl.BlockSpec((d, tile), lambda i, j, s: (0, j),
+    colt_spec = pl.BlockSpec((d, tile), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)
-    arow_spec = pl.BlockSpec((tile, 2), lambda i, j, s: (i, 0),
+    arow_spec = pl.BlockSpec((tile, 2), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM)
-    acolt_spec = pl.BlockSpec((2, tile), lambda i, j, s: (0, j),
+    acolt_spec = pl.BlockSpec((2, tile), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile, tile), lambda i, j, s: (s * nT + i, j),
+    out_spec = pl.BlockSpec((2, tile, tile), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
 
-    MC = pl.pallas_call(
+    MC3 = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((1, 1), lambda i, j, s: (0, 0),
+        in_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
                   row_spec, colt_spec, row_spec, colt_spec,
                   arow_spec, acolt_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((2 * m_pad, m_pad), storage_dtype),
-        scratch_shapes=[pltpu.VMEM((tile, tile), storage_dtype)],
+        out_shape=jax.ShapeDtypeStruct((2, m_pad, m_pad), storage_dtype),
         # large tiles amortize per-program overhead (grid programs cost ~us
         # each; at tile=256 the 2(m/256)^2 programs dominate the build); the
         # f32 score intermediates of a 512-tile need more scoped VMEM than
@@ -241,6 +234,8 @@ def score_consistency_stored_pallas(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_use_interpret(),
     )(mt, P1, P1t, P2, P2t, Ap, Apt)
+    # (2, m_pad, m_pad) is C-contiguous identical to the stacked layout
+    MC = MC3.reshape(2 * m_pad, m_pad)
     if m_pad == m:
         return MC
     # unpad: stacked halves move together
