@@ -36,11 +36,15 @@ def main(argv=None):
     sizes = [256, 1024]
     rho, batch, eps, tlim = 0.9, 8, 1e-3, 0.0
     zrank = 0
+    aa = 10   # acceleration_interval; 0 disables AA — its (L, 2 n^2)
+              # difference history is 10.7 GB at n=8192 (HBM ceiling)
     for a in argv:
         if a.startswith("--sizes="):
             sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--zrank="):
             zrank = int(a.split("=", 1)[1])
+        elif a.startswith("--aa="):
+            aa = int(a.split("=", 1)[1])
         elif a.startswith("--rho="):
             rho = float(a.split("=", 1)[1])
         elif a.startswith("--batch="):
@@ -61,7 +65,8 @@ def main(argv=None):
     pcd0 = harness.load_bunny().astype(np.float32)
     inv = harness.default_invariant()
     sp = sdp.Params(eps_abs=eps, eps_rel=eps, time_limit_secs=tlim,
-                    z_rank=zrank)
+                    z_rank=zrank, acceleration_interval=aa,
+                    acceleration_lookback=min(10, aa))
 
     print(f"platform={jax.devices()[0].platform}  eps={eps}  rho={rho}")
     for m in sizes:
