@@ -419,7 +419,13 @@ def solve(M, C, params: Params = Params()) -> Solution:
     if params.time_limit_secs > 0 or params.verbose:
         # host-chunked driver: same per-iteration arithmetic, observable
         # between chunks — a long ADMM run is interruptible at chunk
-        # granularity and verbose prints live residuals
+        # granularity and verbose prints live residuals.
+        # COST NOTE: each chunk boundary fetches the state to the host;
+        # through a remote device tunnel that is a flat ~23 ms of latency
+        # per chunk (measured, BENCH.md dispatch economics) on top of the
+        # ~25-50 iterations of device work. Leave time_limit_secs=0 and
+        # verbose=False (the one-shot jitted path) unless you need the
+        # interruptibility.
         chunk = max(int(params.acceleration_interval) * 5, 25)
         s = _admm_init(M, C, params)
         while True:
