@@ -44,21 +44,48 @@ def _solve_multistart_jit(M, C, u0s, params):
     return msrc_flat.solve_multistart(M, C, u0s, params)
 
 
+_CAPACITY_M = 8192      # 'auto' switches to the triangle engine at this m
+
+
 class Clipper:
     def __init__(self, invariant: Optional[PairwiseInvariant],
                  params: Params = Params(), *, dtype=None,
-                 seed: Optional[int] = 0):
+                 seed: Optional[int] = 0, engine: str = "auto",
+                 mesh=None, engine_opts: Optional[dict] = None):
         """``seed`` controls the default randomness of :meth:`solve` when no
         ``u0``/``key`` is passed: call k of this instance uses
         ``PRNGKey(fold_in(seed, k))``, so repeated runs of the same program
         are REPRODUCIBLE by default (unlike the reference, whose default u0
         is time-seeded — reference: src/utils.cpp:22-29). Pass ``seed=None``
         to opt back into time-seeded non-reproducible draws.
+
+        engine: 'auto' | 'dense' | 'triangle' | 'sharded' — the storage /
+        execution engine :meth:`solve` uses for matrices built by
+        :meth:`score_pairwise_consistency`:
+          * 'dense' — materialized (m, m) M and C in working precision
+            (the reference's representation, src/clipper.cpp:29);
+          * 'triangle' — symmetric-triangle tile storage built on device
+            in int8 (f64 working precision stores f64), solved by
+            ops.symstore.solve_single — the single-chip capacity engine
+            (m = 114,688 on one 16 GB chip, BENCH.md);
+          * 'sharded' — the triangle storage SHARDED over ``mesh`` (default
+            a 1D mesh of all local devices), solved by
+            ops.symstore.solve_sharded_sym — the multi-chip 100k+ engine;
+          * 'auto' — 'dense' below m = 8192, 'triangle' from there up.
+        Injected matrices (set_matrix_data / set_sparse_matrix_data) always
+        take their own dense/blocksparse paths. engine_opts are forwarded
+        to the capacity engine (probes, power_steps, storage_dtype,
+        support, tile, ...).
         """
+        if engine not in ("auto", "dense", "triangle", "sharded"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.invariant = invariant
         self.params = params
         self.dtype = dtype or _default_dtype()
         self.seed = seed
+        self.engine = engine
+        self.mesh = mesh
+        self.engine_opts = dict(engine_opts or {})
         self._nsolves = 0
         self._A: Optional[jnp.ndarray] = None   # (m, 2) putative associations
         self._M: Optional[jnp.ndarray] = None   # (m, m) zero-diag symmetric
@@ -71,6 +98,9 @@ class Clipper:
         self._C_sparse = None
         self._bs = None                          # ops.blocksparse storage
         self._bs_info: Optional[dict] = None
+        # capacity-engine path (engine='triangle'/'sharded'): raw row-major
+        # datasets retained for on-device tile builds; no dense (m, m)
+        self._cap: Optional[dict] = None
 
     # ------------------------------------------------------------------
     # scoring
@@ -79,17 +109,38 @@ class Clipper:
     def score_pairwise_consistency(self, D1, D2, A=None) -> None:
         """Build affinity/constraint matrices from (d, n) column-major data.
 
-        reference: src/clipper.cpp:21-65.
+        reference: src/clipper.cpp:21-65. Under a capacity engine
+        ('triangle'/'sharded', or 'auto' at m >= 8192) no dense (m, m) is
+        materialized here: the row-major datasets are retained and
+        :meth:`solve` builds symmetric-triangle tile storage on device.
         """
         D1 = jnp.asarray(D1, self.dtype).T   # -> (n1, d) rows
         D2 = jnp.asarray(D2, self.dtype).T
         if A is not None and np.size(A) == 0:
             A = None
+        m = (np.asarray(A).shape[0] if A is not None
+             else D1.shape[0] * D2.shape[0])
+        engine = self._resolve_engine(m)
+        if engine in ("triangle", "sharded"):
+            if A is None:
+                from clipper_tpu.ops.affinity import create_all_to_all
+                A = create_all_to_all(D1.shape[0], D2.shape[0])
+            self._A = as_association(A)
+            self._cap = {"engine": engine, "D1": D1, "D2": D2}
+            self._M = self._C = None
+            self._clear_sparse()
+            return
         M, C, Aout = build_affinity(self.invariant, D1, D2, A,
                                     affinityeps=self.params.affinityeps,
                                     dtype=self.dtype)
         self._M, self._C, self._A = M, C, Aout
+        self._cap = None
         self._clear_sparse()
+
+    def _resolve_engine(self, m: int) -> str:
+        if self.engine == "auto":
+            return "dense" if m < _CAPACITY_M else "triangle"
+        return self.engine
 
     # ------------------------------------------------------------------
     # solvers
@@ -131,6 +182,8 @@ class Clipper:
         self._nsolves += 1
         if self._bs_info is not None:
             return self._solve_sparse(u0, key, multistart)
+        if self._cap is not None:
+            return self._solve_capacity(u0, key, multistart)
         m = self._M.shape[0]
         t0 = time.perf_counter()
         if multistart > 1 and u0 is None:
@@ -157,6 +210,92 @@ class Clipper:
         soln.t = time.perf_counter() - t0
         self._soln = soln
         return soln
+
+    def _solve_capacity(self, u0, key, multistart: int) -> Solution:
+        """Solve through the symmetric-triangle capacity engines
+        (ops/symstore.py): tile storage built on device in reduced
+        precision, no dense (m, m) anywhere — single-chip 'triangle'
+        (solve_single) or mesh-'sharded' (solve_sharded_sym). Answers the
+        reference's single-node O(m^2)-doubles ceiling
+        (reference: src/clipper.cpp:29) from the same facade surface
+        (reference: include/clipper/clipper.h:78-183)."""
+        from clipper_tpu.ops import symstore
+
+        if multistart > 1:
+            raise NotImplementedError(
+                "multistart on the capacity engines is not supported; run "
+                "separate solves with explicit keys (each solve rebuilds "
+                "tile storage, so restarts are not near-free here)")
+        engine = self._cap["engine"]
+        D1, D2 = self._cap["D1"], self._cap["D2"]
+        m = self._A.shape[0]
+        t0 = time.perf_counter()
+        if u0 is None:
+            u0 = utils.randvec(key, m, dtype=self.dtype)
+        u0 = jnp.asarray(u0, self.dtype)
+        opts = dict(affinityeps=self.params.affinityeps)
+        if self.dtype == jnp.float64:
+            # reference-parity working precision stores full f64 tiles
+            opts["storage_dtype"] = jnp.float64
+        else:
+            opts.setdefault("storage_dtype", jnp.int8)
+            opts["probes"] = 16
+            opts["power_steps"] = 4
+        opts.update(self.engine_opts)
+        eng_params = self.params
+        if eng_params.rounding == Rounding.DSD:
+            # exact DSD is rerun host-side below; the engine itself rounds
+            # NONZERO (suppresses solve_sharded_sym's downgrade warning)
+            import dataclasses
+            eng_params = dataclasses.replace(eng_params,
+                                             rounding=Rounding.NONZERO)
+        if engine == "sharded":
+            soln = symstore.solve_sharded_sym(
+                self.invariant, D1, D2, self._A, u0, eng_params,
+                mesh=self.mesh, **opts)
+            u, F, ifinal, mask = soln.u, soln.score, soln.ifinal, soln.mask
+        else:
+            u, F, ifinal = symstore.solve_single(
+                self.invariant, D1, D2, self._A, u0, eng_params, **opts)
+            rounding = self.params.rounding
+            if rounding == Rounding.DSD:
+                rounding = Rounding.NONZERO     # exact DSD below
+            mask = msrc.round_solution(u, F, rounding)
+        np.asarray(mask)   # synchronize (tunnel-safe, see CLAUDE.md)
+
+        if self.params.rounding == Rounding.DSD:
+            mask = self._dsd_on_support(u)
+        soln = Solution(ifinal=ifinal, mask=mask, u0=u0, u=u, score=F)
+        soln.t = time.perf_counter() - t0
+        self._soln = soln
+        return soln
+
+    def _dsd_on_support(self, u) -> jnp.ndarray:
+        """Exact DSD rounding without a dense (m, m): the reference's DSD
+        call is already restricted to the nonzero support S
+        (reference: src/clipper.cpp:294-300), and the flow gadget only
+        reads M[S, S] — so rebuild just that (|S|, |S|) block from the
+        invariant and run the host max-flow on it."""
+        from clipper_tpu.ops.affinity import distinctness_mask
+        from clipper_tpu.solvers import dsd
+
+        m = self._A.shape[0]
+        u_np = np.asarray(u)
+        S = np.flatnonzero(u_np > 0)
+        if S.size == 0:
+            return jnp.zeros(m, dtype=bool)
+        A_S = jnp.asarray(np.asarray(self._A)[S])
+        P1 = self._cap["D1"][A_S[:, 0]]
+        P2 = self._cap["D2"][A_S[:, 1]]
+        scores = self.invariant.score_block(P1, P1, P2, P2)
+        keep = distinctness_mask(A_S) & (scores > self.params.affinityeps)
+        M_SS = np.asarray(jnp.where(keep, scores, 0.0), np.float64)
+        M_SS = np.triu(M_SS, 1)
+        M_SS = M_SS + M_SS.T
+        nodes = S[np.asarray(dsd.solve(M_SS), np.int64)]
+        mask = np.zeros(m, dtype=bool)
+        mask[nodes] = True
+        return jnp.asarray(mask)
 
     def _solve_sparse(self, u0, key, multistart: int) -> Solution:
         """Solve over the occupied-tile storage built by
@@ -221,7 +360,12 @@ class Clipper:
         # densified constraint adjacency without diagonal
         # (reference: src/clipper.cpp:84-85) — the host B&B works on a
         # bitset adjacency, so densifying the 0/1 pattern is inherent here
-        C = self._C if self._C is not None else self._C_sparse.toarray()
+        if self._cap is not None:
+            C = self._densify_cap()[1]
+        elif self._C is not None:
+            C = self._C
+        else:
+            C = self._C_sparse.toarray()
         adj = np.asarray(C) != 0
         t0 = time.perf_counter()
         nodes = maxclique.solve(adj, params or maxclique.Params())
@@ -290,6 +434,9 @@ class Clipper:
         type is dense by contract); solve() itself never does.
         """
         self._require_matrices()
+        if self._cap is not None:
+            return self._densify_cap()[0] + jnp.eye(self._m(),
+                                                    dtype=self.dtype)
         if self._M is None:
             return jnp.asarray(self._M_sparse.toarray(), self.dtype) + \
                 jnp.eye(self._bs_info["m"], dtype=self.dtype)
@@ -301,6 +448,9 @@ class Clipper:
         Densifies on demand on the sparse path (see get_affinity_matrix).
         """
         self._require_matrices()
+        if self._cap is not None:
+            return self._densify_cap()[1] + jnp.eye(self._m(),
+                                                    dtype=self.dtype)
         if self._C is None:
             return jnp.asarray(self._C_sparse.toarray(), self.dtype) + \
                 jnp.eye(self._bs_info["m"], dtype=self.dtype)
@@ -319,6 +469,7 @@ class Clipper:
         Cu = jnp.triu(C, k=1)
         self._M = Mu + Mu.T
         self._C = Cu + Cu.T
+        self._cap = None
         self._clear_sparse()
         if A is not None:
             self._A = as_association(A)
@@ -384,15 +535,35 @@ class Clipper:
     # ------------------------------------------------------------------
 
     def _m(self) -> int:
-        return (self._M.shape[0] if self._M is not None
-                else self._bs_info["m"])
+        if self._M is not None:
+            return self._M.shape[0]
+        if self._cap is not None:
+            return self._A.shape[0]
+        return self._bs_info["m"]
+
+    def _densify_cap(self):
+        """Dense (M, C) rebuilt on demand for the matrix accessors on the
+        capacity path — guarded: the whole point of the capacity engines is
+        never materializing (m, m) at 100k scale."""
+        m = self._m()
+        if m > 16384:
+            raise RuntimeError(
+                f"get_*_matrix would materialize a dense ({m}, {m}) — the "
+                "capacity engine exists to avoid exactly that; use "
+                "get_selected_associations / the Solution instead")
+        M, C, _ = build_affinity(self.invariant, self._cap["D1"],
+                                 self._cap["D2"], self._A,
+                                 affinityeps=self.params.affinityeps,
+                                 dtype=self.dtype)
+        return M, C
 
     def _clear_sparse(self):
         self._M_sparse = self._C_sparse = None
         self._bs = self._bs_info = None
 
     def _require_matrices(self):
-        if (self._M is None or self._C is None) and self._bs_info is None:
+        if ((self._M is None or self._C is None) and self._bs_info is None
+                and self._cap is None):
             raise RuntimeError(
                 "no affinity/constraint matrices; call "
                 "score_pairwise_consistency or set_matrix_data first")

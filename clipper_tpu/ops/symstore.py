@@ -642,7 +642,7 @@ def row_chunk_table(chunk_r, chunk_c0, nt: int) -> np.ndarray:
     S[nt + 1] = NC
     first_c0 = np.zeros(nt + 1, np.int32)
     for rr in range(nt + 1):
-        if S[rr] < (S[rr + 1] if rr < nt + 1 else NC) and S[rr] < NC:
+        if S[rr] < S[rr + 1]:   # row rr owns chunks (S[nt + 1] = NC cap)
             first_c0[rr] = chunk_c0[S[rr]]
     return np.concatenate([S, first_c0]).astype(np.int32)
 
@@ -901,7 +901,15 @@ def build_symshard_pipeline(invariant: PairwiseInvariant, mesh,
 
     rounding = params.rounding
     if rounding == Rounding.DSD:
-        rounding = Rounding.NONZERO   # facade reruns DSD host-side
+        # this is a public standalone entry, so warn exactly as the pool
+        # engines do (pool._pool_rounding); the Clipper facade's capacity
+        # path reruns exact DSD host-side on the nonzero support instead
+        import warnings
+        warnings.warn(
+            "solve_sharded_sym cannot run exact (host-side) DSD rounding "
+            "in-graph; downgrading to Rounding.NONZERO — use the Clipper "
+            "facade (engine='sharded') for exact DSD", stacklevel=2)
+        rounding = Rounding.NONZERO
 
     @jax.jit
     def pipeline(*args):

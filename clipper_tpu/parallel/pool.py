@@ -73,7 +73,6 @@ def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
         raise ValueError(
             f"solve_pool: {W} inits over {P} stored matrices requires an "
             f"explicit problem_of mapping (P == W only when omitted)")
-    B = min(lanes, W)
     dtype = inits.u.dtype
 
     # The tick indexes the pool directly (MCs[idx] inside the lane's matvec)
@@ -88,6 +87,76 @@ def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
         return msrc_flat.make_flat_tick(dual, params, dtype)(s)
 
     vtick = jax.vmap(lane_tick)
+    return _pool_schedule(vtick, inits, m, lanes=lanes, window=window,
+                          return_windows=return_windows)
+
+
+def solve_pool_tri(tri: jnp.ndarray, nt: int, inits: msrc_flat._FlatState,
+                   params: Params = Params(), *, lanes: int = 128,
+                   window: int = 8, problem_of: Optional[jnp.ndarray] = None,
+                   matvec: str = "auto", return_windows: bool = False):
+    """:func:`solve_pool` over flat-triangle storage (ops/flattri.py).
+
+    tri: (P, 2t, S) flat-segment or (P, T, 2t, t) tile-major packed
+    upper-triangle [M; C] per problem — HALF the stored (and therefore
+    per-tick HBM) bytes of the dense stacked pool. The tick runs ONE
+    batched Pallas matvec over all lanes, each lane's pool index riding
+    scalar prefetch into the storage BlockSpec index_map
+    (msrc_flat.make_flat_tick_batched + the flattri matvec kernels);
+    per-lane arithmetic is the vmapped flat tick, so the scheduler's
+    behavior is identical to the stacked engine's.
+
+    matvec: 'auto' | 'tiles' | 'pallas' | 'xla' — 'tiles' is the
+    tile-batched kernel (3 batched MXU contractions per lane, requires the
+    4D tile-major storage); 'pallas' the flat-segment kernel (3D storage);
+    'auto' picks by storage rank on TPU, 'xla' elsewhere (the XLA fallback
+    gathers each lane's triangle — correct everywhere, wasteful on-chip).
+    """
+    from clipper_tpu.ops import flattri
+
+    W = inits.u.shape[0]
+    dtype = inits.u.dtype
+    tile_major = tri.ndim == 4
+    t = (tri.shape[-1] if tile_major else tri.shape[1] // 2)
+    m = nt * t
+    if matvec == "auto":
+        if jax.default_backend() != "tpu":
+            matvec = "xla"
+        elif tile_major:
+            # the tile-batched kernel MISCOMPILES on real TPUs today
+            # (batched M=1 dot_generals return wrong values through Mosaic
+            # — measured err ~0.3 vs the stacked oracle, round 5); never
+            # auto-select it, and its XLA fallback gathers per lane
+            raise ValueError(
+                "tile-major (4D) pool storage has no production TPU "
+                "matvec; use the flat-segment (3D) layout, or pass "
+                "matvec='tiles' explicitly to experiment")
+        else:
+            matvec = "pallas"
+    maker = {"tiles": flattri.make_tri_pool_matvec_tiles,
+             "pallas": flattri.make_tri_pool_matvec,
+             "xla": (flattri.make_tri_pool_matvec_tiles_xla if tile_major
+                     else flattri.make_tri_pool_matvec_xla)}[matvec]
+    bmv = maker(tri, nt, dtype)
+    if problem_of is not None:
+        base = bmv
+
+        def bmv(idx, U):
+            return base(problem_of[idx], U)
+
+    btick = msrc_flat.make_flat_tick_batched(bmv, params, dtype)
+    return _pool_schedule(btick, inits, m, lanes=lanes, window=window,
+                          return_windows=return_windows)
+
+
+def _pool_schedule(vtick, inits: msrc_flat._FlatState, m: int, *,
+                   lanes: int, window: int, return_windows: bool):
+    """The lane-compaction loop shared by the stacked and flat-triangle
+    pool engines. vtick(safe_idx, lane_states) advances every lane one
+    probe tick (done lanes freeze themselves)."""
+    W = inits.u.shape[0]
+    B = min(lanes, W)
+    dtype = inits.u.dtype
 
     def take_init(k):
         return jax.tree.map(lambda a: a[k], inits)
@@ -239,7 +308,10 @@ def exact_objective_rows(invariant: PairwiseInvariant, P1, P2, A, u,
         scores = invariant.score_block(P1r, P1, P2r, P2)
         distinct = ~((Ar[:, 0, None] == A[None, :, 0])
                      | (Ar[:, 1, None] == A[None, :, 1]))
-        keep = distinct & (scores > affinityeps)
+        # pad rows (A = -1) are distinct from every real row, so mask them
+        # explicitly — exactness must not hinge on pad entries of u being 0
+        real = (Ar >= 0).all(-1)[:, None] & (A >= 0).all(-1)[None, :]
+        keep = distinct & real & (scores > affinityeps)
         Mr = jnp.where(keep, scores, 0.0).astype(acc_dtype)
         return acc + jnp.dot(u_r, Mr @ uf)
 
@@ -308,7 +380,9 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
                        mesh=None,
                        axis_name: str = "b",
                        build: str = "auto",
-                       fused: Optional[bool] = None):
+                       fused: Optional[bool] = None,
+                       layout: str = "stacked",
+                       tri_tile: int = 0):
     """Compile (D1, D2s, As, u0s) -> batched Solution via the pool engine.
 
     End-to-end: affinity build into a device-resident [M; C] pool
@@ -350,13 +424,75 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     Rounding.DSD is downgraded to NONZERO (with a warning): the pool
     pipelines are terminal in-graph APIs with no host hop; use the Clipper
     facade (which reruns exact DSD host-side) if DSD rounding is required.
+
+    layout: 'stacked' | 'tri' — pool storage layout. 'tri' packs only the
+    upper-triangle tiles of [M; C] (ops/flattri.py): HALF the pool bytes
+    AND half the per-tick HBM traffic (the solver tick streams the whole
+    stored matrix every probe), with the lane -> problem indirection riding
+    scalar prefetch into the Pallas matvec. Requires m divisible by 128;
+    supported on the fused and unfused single-device paths (a mesh forces
+    'stacked'). tri_tile: storage tile t (0 = auto: 256 when m divides,
+    else 128).
     """
     rounding = _pool_rounding(params)
     build = _resolve_build(build, storage_dtype, invariant)
     if fused is None:
         fused = mesh is None
     if mesh is not None:
+        if layout == "tri":
+            import warnings
+            warnings.warn("pool layout='tri' is single-device; a mesh pool "
+                          "falls back to layout='stacked'", stacklevel=2)
+        layout = "stacked"
         fused = False
+
+    def _tri_meta(m: int):
+        t = tri_tile or (256 if m % 256 == 0 else 128)
+        if m % t:
+            raise ValueError(
+                f"pool layout='tri' needs m divisible by {t}; got m={m} "
+                f"(use layout='stacked' or pad the workload)")
+        mv_kind = "pallas" if jax.default_backend() == "tpu" else "xla"
+        return t, m // t, mv_kind
+
+    def build_tri_batch(D1, D2s, As, u0s, m_trues):
+        """Flat-triangle build + batched inits (layout='tri')."""
+        from clipper_tpu.ops import flattri
+
+        W, m, _ = As.shape
+        t, nt, mv_kind = _tri_meta(m)
+        dtype = u0s.dtype
+        if build == "pallas":
+            P1s = (D1[As[..., 0]] if shared_d1
+                   else jax.vmap(lambda d, a: d[a])(D1, As[..., 0]))
+            P2s = jax.vmap(lambda d, a: d[a])(D2s, As[..., 1])
+            tri = flattri.build_tri_pallas(
+                invariant, P1s, P2s, As, m_trues, t=t,
+                affinityeps=affinityeps, storage_dtype=storage_dtype)
+        else:
+            vb = jax.vmap(
+                functools.partial(flattri.build_tri_xla, invariant, t=t,
+                                  affinityeps=affinityeps,
+                                  storage_dtype=storage_dtype),
+                in_axes=(None if shared_d1 else 0, 0, 0, 0))
+            tri = vb(D1, D2s, As, m_trues)
+        # inits through the SAME batched matvec the pool loop uses, so a
+        # lane's trajectory is identical to the solve stage's arithmetic
+        maker = (flattri.make_tri_pool_matvec if mv_kind == "pallas"
+                 else flattri.make_tri_pool_matvec_xla)
+        bmv = maker(tri, nt, dtype)
+        idx = jnp.arange(W, dtype=jnp.int32)
+        if power_steps:
+            u0s = msrc_flat.power_init_batched(bmv, idx, u0s, power_steps)
+        inits = msrc_flat.flat_init_batched(bmv, idx, u0s, params)
+        return tri, inits
+
+    @functools.partial(jax.jit, static_argnames=("nt", "mv_kind"))
+    def solve_tri_jit(tri, inits, nt, mv_kind):
+        return solve_pool_tri(tri, nt, inits, params, lanes=lanes,
+                              window=window, matvec=mv_kind)
+
+    build_tri_jit = jax.jit(build_tri_batch)
 
     def build_one(D1, D2, A, u0, m_true):
         if storage_dtype is not None and build == "pallas":
@@ -456,8 +592,15 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
 
     @jax.jit
     def fused_pipeline(D1, D2s, As, u0s, m_trues):
-        MCs, inits = vbuild(D1, D2s, As, u0s, m_trues)
-        u, F, ifinal = solve(MCs, inits)
+        if layout == "tri":
+            _, nt, mv_kind = _tri_meta(As.shape[1])
+            tri, inits = build_tri_batch(D1, D2s, As, u0s, m_trues)
+            u, F, ifinal = solve_pool_tri(tri, nt, inits, params,
+                                          lanes=lanes, window=window,
+                                          matvec=mv_kind)
+        else:
+            MCs, inits = vbuild(D1, D2s, As, u0s, m_trues)
+            u, F, ifinal = solve(MCs, inits)
         return polish_batch(D1, D2s, As, u, F, ifinal, u0s)
 
     def pipeline(D1, D2s, As, u0s, m_trues=None):
@@ -469,6 +612,13 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
             m_trues = jnp.full((W,), As.shape[1], jnp.int32)
         if fused:
             return fused_pipeline(D1, D2s, As, u0s, m_trues)
+        if layout == "tri":
+            # unfused tri path: one build dispatch (no chunking — the
+            # triangle pool is already half the stacked footprint)
+            _, nt, mv_kind = _tri_meta(As.shape[1])
+            tri, inits = build_tri_jit(D1, D2s, As, u0s, m_trues)
+            u, F, ifinal = solve_tri_jit(tri, inits, nt=nt, mv_kind=mv_kind)
+            return polish_jit(D1, D2s, As, u, F, ifinal, u0s)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
             D = mesh.shape[axis_name]

@@ -116,12 +116,19 @@ def flat_init(dual_matvec, u0, params: Params = Params()) -> _FlatState:
     """
     dtype = u0.dtype
     Mu0, _ = dual_matvec(u0)
-    if params.rescale_u0:
-        u = Mu0 + u0
-    else:
-        u = u0
-    u = u / jnp.linalg.norm(u)
+    u = _init_rescale(u0, Mu0, params)
     Mu, Cu = dual_matvec(u)
+    return _init_from_mv(u, Mu, Cu, params, dtype)
+
+
+def _init_rescale(u0, Mu0, params: Params):
+    """The init's one power step (reference: clipper.cpp:193-198)."""
+    u = Mu0 + u0 if params.rescale_u0 else u0
+    return u / jnp.linalg.norm(u)
+
+
+def _init_from_mv(u, Mu, Cu, params: Params, dtype) -> _FlatState:
+    """Initial state from the rescaled iterate's matvec (see flat_init)."""
     idxD, ratio = _d_terms(u, Mu, Cu, params, dtype)
     d0 = jnp.where(jnp.any(idxD), msrc._masked_mean(ratio, idxD), 0.0)
     d0 = d0.astype(dtype)
@@ -134,97 +141,169 @@ def flat_init(dual_matvec, u0, params: Params = Params()) -> _FlatState:
                       ticks=jnp.int32(0), nback=jnp.int32(0))
 
 
-def make_flat_tick(dual_matvec, params: Params, dtype):
-    """One probe tick of the flat state machine: _FlatState -> _FlatState.
+def power_init_batched(batch_dual, idx, U0, steps: int):
+    """Batched :func:`power_init`: one batched matvec per step.
 
-    Exactly the body of :func:`flat_solve_single`'s while_loop; lanes with
-    ``done`` set are frozen, so the tick can be driven by any schedule
-    (while_loop, fixed windows in a pool, ...) without changing results.
+    batch_dual(idx, U) -> (MU, CU) over (B, m) candidate rows; the per-lane
+    arithmetic is vmapped, so lanes match power_init bit-for-bit whenever
+    the matvecs agree.
     """
+    def pw(_, V):
+        MV, _ = batch_dual(idx, V)
+        return jax.vmap(lambda mv, v: (mv + v) / jnp.linalg.norm(mv + v))(
+            MV, V)
+
+    return jax.lax.fori_loop(0, steps, pw, U0)
+
+
+def flat_init_batched(batch_dual, idx, U0,
+                      params: Params = Params()) -> _FlatState:
+    """Batched :func:`flat_init` over a shared batched dual matvec.
+
+    Returns a (B, ...) batched _FlatState identical to
+    vmap(flat_init)(...) when the matvecs agree.
+    """
+    dtype = U0.dtype
+    MU0, _ = batch_dual(idx, U0)
+    U = jax.vmap(functools.partial(_init_rescale, params=params))(U0, MU0)
+    MU, CU = batch_dual(idx, U)
+    return jax.vmap(
+        lambda u, mu, cu: _init_from_mv(u, mu, cu, params, dtype))(U, MU, CU)
+
+
+def make_flat_tick_batched(batch_dual, params: Params, dtype):
+    """Batched :func:`make_flat_tick`: (idx, states) -> states.
+
+    All lanes' probe candidates are computed (vmapped :func:`_tick_probe`),
+    ONE batched dual matvec evaluates them, and the per-lane updates are
+    vmapped :func:`_tick_update` — the driver for batched matvecs that must
+    run as a single kernel over all lanes (the flat-triangle pool engine,
+    ops/flattri.py) instead of a per-lane closure.
+    """
+    def body(idx, ls: _FlatState) -> _FlatState:
+        U = jax.vmap(_tick_probe)(ls)
+        MU, CU = batch_dual(idx, U)
+        return jax.vmap(
+            lambda s, un, mu, cu: _tick_update(s, un, mu, cu, params,
+                                               dtype))(ls, U, MU, CU)
+
+    return body
+
+
+def _tick_probe(s: _FlatState) -> jnp.ndarray:
+    """The tick's projected candidate (reference: clipper.cpp:235-237).
+
+    Split out of :func:`make_flat_tick` so batched drivers can compute ALL
+    lanes' candidates, run ONE batched dual matvec over them, and hand the
+    results to :func:`_tick_update` — per-lane arithmetic is the identical
+    op sequence, so a batched tick matches vmap(make_flat_tick) bit-for-bit
+    whenever the matvecs agree.
+    """
+    unew = jnp.maximum(s.u + s.alpha * s.gradF, 0.0)
+    return unew / jnp.linalg.norm(unew)
+
+
+def _tick_update(s: _FlatState, unew, Mu, Cu, params: Params,
+                 dtype) -> _FlatState:
+    """Everything after the tick's matvec (see :func:`make_flat_tick`)."""
     stall_guard = msrc._stall_guard_enabled(dtype)
     one = jnp.asarray(1.0, dtype)
 
     def d_terms(u, Mu, Cu):
         return _d_terms(u, Mu, Cu, params, dtype)
 
+    gradFnew = _grad_from_mv(unew, s.d, Mu, Cu)
+    Fnew = jnp.dot(unew, gradFnew)
+    deltaF = Fnew - s.F
+
+    # ---- line-search decision (reference: clipper.cpp:246-251) ----
+    # candidate accepted when objective did not decrease, or when the
+    # line-search budget is exhausted (last candidate is kept).
+    eps_ls = msrc._eps_like(params.eps, jnp.abs(s.F), dtype)
+    backtrack = (deltaF < -eps_ls) & (s.lsk + 1 < params.maxlsiters)
+    accept = ~backtrack
+
+    # ---- inner-step update on accept (reference: clipper.cpp:253-261) ----
+    deltau = jnp.linalg.norm(unew - s.u)
+    tol_u = msrc._eps_like(params.tol_u, 1.0, dtype)
+    tol_F = msrc._eps_like(params.tol_F, jnp.abs(Fnew), dtype)
+    inner_conv = (deltau < tol_u) | (jnp.abs(deltaF) < tol_F)
+    j_next = s.j + 1
+    inner_done = accept & (inner_conv | (j_next >= params.maxiniters))
+
+    # ---- outer transition (reference: clipper.cpp:268-280, 218-220) ----
+    idxD, ratio = d_terms(unew, Mu, Cu)
+    active = jnp.any(idxD)
+    deltad = msrc._masked_mean(jnp.abs(ratio), idxD)
+    d_new = s.d + deltad
+    i_next = jnp.where(active, s.i + 1, s.i)
+    outer_exhausted = i_next >= params.maxoliters
+    lane_done = inner_done & (~active | outer_exhausted)
+
+    # stalled-homotopy guard (see msrc._STALL_OUTERS): inner converged on
+    # its first step without moving u, for several consecutive outers
+    frozen = inner_done & (s.j == 0) & (deltau < tol_u)
+    stall_next = jnp.where(inner_done,
+                           jnp.where(frozen, s.stall + 1, 0), s.stall)
+    if stall_guard:
+        lane_done = lane_done | (inner_done &
+                                 (stall_next >= msrc._STALL_OUTERS))
+
+    # refreshed gradient/objective for the new d (same Mu/Cu — this IS
+    # the matvec the reference recomputes at clipper.cpp:219)
+    grad_refresh = _grad_from_mv(unew, d_new, Mu, Cu)
+    F_refresh = jnp.dot(unew, grad_refresh)
+
+    take_outer = inner_done & active & ~outer_exhausted & ~lane_done
+
+    u_out = jnp.where(accept, unew, s.u)
+    gradF_out = jnp.where(take_outer, grad_refresh,
+                          jnp.where(accept, gradFnew, s.gradF))
+    F_out = jnp.where(take_outer, F_refresh,
+                      jnp.where(accept, Fnew, s.F))
+    d_out = jnp.where(take_outer, d_new, s.d)
+    alpha_out = jnp.where(accept, one, s.alpha * params.beta)
+    lsk_out = jnp.where(accept, 0, s.lsk + 1)
+    j_out = jnp.where(inner_done, 0, jnp.where(accept, j_next, s.j))
+    i_out = jnp.where(inner_done, i_next, s.i)
+
+    # frozen lanes keep their state (vmap: other lanes may still run)
+    frz = s.done
+    return _FlatState(
+        u=jnp.where(frz, s.u, u_out),
+        gradF=jnp.where(frz, s.gradF, gradF_out),
+        F=jnp.where(frz, s.F, F_out),
+        d=jnp.where(frz, s.d, d_out),
+        alpha=jnp.where(frz, s.alpha, alpha_out),
+        lsk=jnp.where(frz, s.lsk, lsk_out),
+        j=jnp.where(frz, s.j, j_out),
+        i=jnp.where(frz, s.i, i_out),
+        done=s.done | lane_done,
+        stall=jnp.where(frz, s.stall, stall_next),
+        ticks=jnp.where(frz, s.ticks, s.ticks + 1),
+        nback=jnp.where(frz | accept, s.nback, s.nback + 1),
+    )
+
+
+def make_flat_tick(dual_matvec, params: Params, dtype):
+    """One probe tick of the flat state machine: _FlatState -> _FlatState.
+
+    Exactly the body of :func:`flat_solve_single`'s while_loop; lanes with
+    ``done`` set are frozen, so the tick can be driven by any schedule
+    (while_loop, fixed windows in a pool, ...) without changing results.
+    Composed from :func:`_tick_probe` + one dual matvec + :func:`_tick_update`
+    so batched drivers (parallel.pool's flat-triangle engine) can run the
+    matvec once for all lanes with bit-identical per-lane arithmetic.
+    """
+
     def body(s: _FlatState):
         # ---- probe (reference: clipper.cpp:235-242) ----
-        unew = jnp.maximum(s.u + s.alpha * s.gradF, 0.0)
-        unew = unew / jnp.linalg.norm(unew)
+        unew = _tick_probe(s)
         Mu, Cu = dual_matvec(unew)
-        gradFnew = _grad_from_mv(unew, s.d, Mu, Cu)
-        Fnew = jnp.dot(unew, gradFnew)
-        deltaF = Fnew - s.F
-
-        # ---- line-search decision (reference: clipper.cpp:246-251) ----
-        # candidate accepted when objective did not decrease, or when the
-        # line-search budget is exhausted (last candidate is kept).
-        eps_ls = msrc._eps_like(params.eps, jnp.abs(s.F), dtype)
-        backtrack = (deltaF < -eps_ls) & (s.lsk + 1 < params.maxlsiters)
-        accept = ~backtrack
-
-        # ---- inner-step update on accept (reference: clipper.cpp:253-261) ----
-        deltau = jnp.linalg.norm(unew - s.u)
-        tol_u = msrc._eps_like(params.tol_u, 1.0, dtype)
-        tol_F = msrc._eps_like(params.tol_F, jnp.abs(Fnew), dtype)
-        inner_conv = (deltau < tol_u) | (jnp.abs(deltaF) < tol_F)
-        j_next = s.j + 1
-        inner_done = accept & (inner_conv | (j_next >= params.maxiniters))
-
-        # ---- outer transition (reference: clipper.cpp:268-280, 218-220) ----
-        idxD, ratio = d_terms(unew, Mu, Cu)
-        active = jnp.any(idxD)
-        deltad = msrc._masked_mean(jnp.abs(ratio), idxD)
-        d_new = s.d + deltad
-        i_next = jnp.where(active, s.i + 1, s.i)
-        outer_exhausted = i_next >= params.maxoliters
-        lane_done = inner_done & (~active | outer_exhausted)
-
-        # stalled-homotopy guard (see msrc._STALL_OUTERS): inner converged on
-        # its first step without moving u, for several consecutive outers
-        frozen = inner_done & (s.j == 0) & (deltau < tol_u)
-        stall_next = jnp.where(inner_done,
-                               jnp.where(frozen, s.stall + 1, 0), s.stall)
-        if stall_guard:
-            lane_done = lane_done | (inner_done &
-                                     (stall_next >= msrc._STALL_OUTERS))
-
-        # refreshed gradient/objective for the new d (same Mu/Cu — this IS
-        # the matvec the reference recomputes at clipper.cpp:219)
-        grad_refresh = _grad_from_mv(unew, d_new, Mu, Cu)
-        F_refresh = jnp.dot(unew, grad_refresh)
-
-        take_outer = inner_done & active & ~outer_exhausted & ~lane_done
-
-        u_out = jnp.where(accept, unew, s.u)
-        gradF_out = jnp.where(take_outer, grad_refresh,
-                              jnp.where(accept, gradFnew, s.gradF))
-        F_out = jnp.where(take_outer, F_refresh,
-                          jnp.where(accept, Fnew, s.F))
-        d_out = jnp.where(take_outer, d_new, s.d)
-        alpha_out = jnp.where(accept, one, s.alpha * params.beta)
-        lsk_out = jnp.where(accept, 0, s.lsk + 1)
-        j_out = jnp.where(inner_done, 0, jnp.where(accept, j_next, s.j))
-        i_out = jnp.where(inner_done, i_next, s.i)
-
-        # frozen lanes keep their state (vmap: other lanes may still run)
-        frz = s.done
-        return _FlatState(
-            u=jnp.where(frz, s.u, u_out),
-            gradF=jnp.where(frz, s.gradF, gradF_out),
-            F=jnp.where(frz, s.F, F_out),
-            d=jnp.where(frz, s.d, d_out),
-            alpha=jnp.where(frz, s.alpha, alpha_out),
-            lsk=jnp.where(frz, s.lsk, lsk_out),
-            j=jnp.where(frz, s.j, j_out),
-            i=jnp.where(frz, s.i, i_out),
-            done=s.done | lane_done,
-            stall=jnp.where(frz, s.stall, stall_next),
-            ticks=jnp.where(frz, s.ticks, s.ticks + 1),
-            nback=jnp.where(frz | accept, s.nback, s.nback + 1),
-        )
+        return _tick_update(s, unew, Mu, Cu, params, dtype)
 
     return body
+
 
 
 def flat_solve_single(
@@ -247,6 +326,31 @@ def flat_solve_single(
     if return_ticks:
         return s.u, s.F, s.i, s.ticks, s.nback
     return s.u, s.F, s.i
+
+
+def flat_solve_ticks(dual_matvec, state: _FlatState,
+                     params: Params = Params(), *,
+                     ticks: int) -> _FlatState:
+    """Advance a flat-solver carry by at most ``ticks`` probe ticks.
+
+    The checkpoint/resume primitive: the carry (_FlatState — u, d, F,
+    alpha, loop counters) is a plain pytree, so an hours-long solve can be
+    driven in bounded chunks with the state saved to disk between them
+    (utils.checkpoint.save_solver_state) and survives preemption. The tick
+    function is EXACTLY :func:`flat_solve_single`'s, so chunked driving
+    reproduces the uninterrupted trajectory bit-for-bit: resuming from a
+    saved state is indistinguishable from never stopping. (A Solution-level
+    warm start loses the homotopy d and line-search alpha — the reference's
+    solve(u0) restarts those from scratch, include/clipper/clipper.h:102.)
+    """
+    dtype = state.u.dtype
+    tick = make_flat_tick(dual_matvec, params, dtype)
+    target = state.ticks + ticks
+
+    def cond(s: _FlatState):
+        return (~s.done) & (s.ticks < target)
+
+    return jax.lax.while_loop(cond, tick, state)
 
 
 def flat_solve_single_multiprobe(

@@ -88,6 +88,73 @@ class Params:
     # for ANY iterate, so the reported gap remains a true bound.
     z_rank: int = 0
     z_power_iters: int = 2            # subspace refinement rounds per step
+    # auto_tune de-arms the scale foot-guns BENCH.md round 4 measured:
+    # reference-parity eps = 1e-3 under-converges extraction at n >= 2048
+    # (P/R collapse), the exact eigh passes its knee there (195 ms/iter),
+    # and the AA history (2 x L x 2 n^2 f32) reaches 10.7 GB at n = 8192.
+    # With auto_tune=True, solve() tightens eps to <= 1e-4, switches to the
+    # rank-64 Z-step, and disables AA over ~2 GB of history — each with a
+    # warning naming the override. Set False for raw reference-parity
+    # defaults at every scale.
+    auto_tune: bool = True
+
+
+# auto_tune thresholds (measured knees, BENCH.md round 4)
+_TUNE_N_EPS = 2048          # eps=1e-3 extraction collapse from here
+_TUNE_EPS = 1e-4
+_TUNE_N_ZRANK = 2048        # exact-eigh knee
+_TUNE_ZRANK = 64
+_TUNE_AA_BYTES = 2 << 30    # AA difference-history budget
+
+
+def _resolve_params(params: Params, n: int, itemsize: int) -> Params:
+    """Apply auto_tune's scale-dependent overrides (with warnings)."""
+    if not params.auto_tune:
+        return params
+    import warnings
+
+    changes = {}
+    if n >= _TUNE_N_EPS and (params.eps_abs > _TUNE_EPS
+                             or params.eps_rel > _TUNE_EPS):
+        changes["eps_abs"] = min(params.eps_abs, _TUNE_EPS)
+        changes["eps_rel"] = min(params.eps_rel, _TUNE_EPS)
+        warnings.warn(
+            f"sdp auto_tune: eps tightened to {_TUNE_EPS:g} at n={n} "
+            f"(eps=1e-3 under-converges extraction for n >= {_TUNE_N_EPS}; "
+            "set auto_tune=False to keep your values)", stacklevel=3)
+    if params.z_rank == 0 and n >= _TUNE_N_ZRANK:
+        changes["z_rank"] = min(_TUNE_ZRANK, n)
+        warnings.warn(
+            f"sdp auto_tune: z_rank={_TUNE_ZRANK} subspace Z-step at n={n} "
+            "(exact eigh per-iteration cost passes its knee here; set "
+            "z_rank=-1 or auto_tune=False to force the exact eigh)",
+            stacklevel=3)
+    L = max(int(params.acceleration_lookback), 0)
+    aa_bytes = 2 * L * 2 * n * n * itemsize
+    if params.acceleration_interval > 0 and aa_bytes > _TUNE_AA_BYTES:
+        changes["acceleration_interval"] = 0
+        warnings.warn(
+            f"sdp auto_tune: Anderson acceleration disabled at n={n} — its "
+            f"difference history would hold {aa_bytes / 2**30:.1f} GiB "
+            "(budget 2 GiB); set auto_tune=False to force it", stacklevel=3)
+    return dataclasses.replace(params, **changes) if changes else params
+
+
+def _warn_underconverged(soln: "Solution", params: Params, n: int):
+    """Post-solve certificate check: the extraction rule (reference:
+    src/sdp.cpp:251-262) reads the top eigenvector of X, which is only
+    meaningful near the optimum — surface a loud warning when the certified
+    gap says the iterate is not there."""
+    if not params.auto_tune:
+        return
+    rel_gap = soln.gap / max(1.0, abs(soln.pobj))
+    if soln.iters >= params.max_iters or rel_gap > 0.05:
+        import warnings
+        warnings.warn(
+            f"sdp: iterate under-converged (iters={soln.iters}/"
+            f"{params.max_iters}, certified rel gap {rel_gap:.2e}) — node "
+            "extraction from the top eigenvector may be unreliable; raise "
+            "max_iters or tighten eps", stacklevel=3)
 
 
 @dataclasses.dataclass
@@ -388,6 +455,7 @@ def solve_batched(Ms, Cs, params: Params = Params()) -> List[Solution]:
     t0 = time.perf_counter()
     Ms = jnp.asarray(Ms)
     Cs = jnp.asarray(Cs, Ms.dtype)
+    params = _resolve_params(params, Ms.shape[-1], Ms.dtype.itemsize)
     X, lam, evec1, pobj, dobj, iters, T = jax.vmap(
         lambda M, C: _admm(M, C, params))(Ms, Cs)
     X = np.asarray(X)
@@ -404,6 +472,7 @@ def solve_batched(Ms, Cs, params: Params = Params()) -> List[Solution]:
                             nodes=nodes, iters=int(iters[b]),
                             pobj=pb, dobj=db,
                             t=t1 - t0, t_solve=t1 - t0))
+        _warn_underconverged(out[-1], params, Ms.shape[-1])
     return out
 
 
@@ -416,6 +485,7 @@ def solve(M, C, params: Params = Params()) -> Solution:
     t0 = time.perf_counter()
     M = jnp.asarray(M)
     C = jnp.asarray(C, M.dtype)
+    params = _resolve_params(params, M.shape[0], M.dtype.itemsize)
     if params.time_limit_secs > 0 or params.verbose:
         # host-chunked driver: same per-iteration arithmetic, observable
         # between chunks — a long ADMM run is interruptible at chunk
@@ -460,6 +530,8 @@ def solve(M, C, params: Params = Params()) -> Solution:
     pobj, dobj = _certify_f64(M, C, X, T)
     t2 = time.perf_counter()
 
-    return Solution(X=X, lambdas=lam, evec1=evec1, thr=thr, nodes=nodes,
+    soln = Solution(X=X, lambdas=lam, evec1=evec1, thr=thr, nodes=nodes,
                     iters=int(iters), pobj=pobj, dobj=dobj,
                     t=t2 - t0, t_solve=t1 - t0, t_extract=t2 - t1)
+    _warn_underconverged(soln, params, M.shape[0])
+    return soln

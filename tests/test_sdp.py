@@ -227,3 +227,57 @@ def test_facade_sdr_batched():
     for b in range(2):
         single = sdp.solve(Ms[b], Cs[b])
         assert set(solns[b].nodes) == set(single.nodes)
+
+
+def test_auto_tune_param_resolution():
+    """auto_tune de-arms the documented scale foot-guns (BENCH.md r4):
+    eps tightened at n >= 2048, z_rank auto-selected, AA disabled when its
+    history exceeds the memory budget — each with a warning."""
+    import warnings as w
+
+    p = sdp.Params()
+    # small n: untouched, no warnings
+    with w.catch_warnings():
+        w.simplefilter("error")
+        assert sdp._resolve_params(p, 512, 4) == p
+    # n = 2048: eps tightens + z_rank switches
+    with pytest.warns(UserWarning, match="eps tightened"):
+        with pytest.warns(UserWarning, match="z_rank"):
+            r = sdp._resolve_params(p, 2048, 4)
+    assert r.eps_abs == pytest.approx(1e-4)
+    assert r.eps_rel == pytest.approx(1e-4)
+    assert r.z_rank == 64
+    # n = 8192: AA history (2*10*2*n^2*4 = 10.7 GB) exceeds the 2 GiB budget
+    with pytest.warns(UserWarning, match="Anderson"):
+        r = sdp._resolve_params(p, 8192, 4)
+    assert r.acceleration_interval == 0
+    # explicit opt-outs respected
+    p2 = sdp.Params(auto_tune=False)
+    with w.catch_warnings():
+        w.simplefilter("error")
+        assert sdp._resolve_params(p2, 8192, 4) == p2
+    p3 = sdp.Params(z_rank=-1, eps_abs=1e-4, eps_rel=1e-4)
+    r3 = sdp._resolve_params(p3, 4096, 4)
+    assert r3.z_rank == -1   # -1 pins the exact eigh through auto_tune
+
+
+def test_underconvergence_warning_fires_and_clears():
+    """A starved solve (max_iters=2) must warn that extraction is
+    unreliable; a converged solve must not."""
+    rng = np.random.default_rng(7)
+    n = 24
+    W = np.triu(rng.uniform(0, 0.3, size=(n, n)) *
+                (rng.uniform(size=(n, n)) < 0.25), 1)
+    clique = [2, 5, 11, 17, 20]
+    for a in range(len(clique)):
+        for b in range(a + 1, len(clique)):
+            W[clique[a], clique[b]] = 1.0
+    M = W + W.T + np.eye(n)
+    C = (M > 0).astype(float)
+    with pytest.warns(UserWarning, match="under-converged"):
+        sdp.solve(M, C, sdp.Params(max_iters=2))
+    import warnings as w
+    with w.catch_warnings():
+        w.simplefilter("error")
+        soln = sdp.solve(M, C)
+    assert set(soln.nodes) == set(clique)
