@@ -50,12 +50,14 @@ def main():
 
     inv = harness.default_invariant()
     from clipper_tpu.types import Params
-    # pool (lane-compaction) engine + int8-quantized [M; C] storage with
-    # f32 accumulation and full-precision objective polish: the highest-
-    # throughput config at P/R identical to the f32 path (see BENCH.md)
-    pipe = pool.make_pool_pipeline(inv, Params(), lanes=128, window=12,
+    # pool (lane-compaction) engine on flat-triangle int8 storage (half
+    # the per-tick HBM of dense stacked) with the K=8 in-kernel multiprobe
+    # line search (candidate rows ride the triangle read nearly free) and
+    # full-precision objective polish: the highest-throughput config at
+    # P/R identical to the f32 path (round 5, see BENCH.md)
+    pipe = pool.make_pool_pipeline(inv, Params(), lanes=128, window=6,
                                    storage_dtype=jnp.int8, power_steps=4,
-                                   chunk=128)
+                                   chunk=128, layout="tri", tri_probes=8)
 
     # compile + warm up (force a host fetch: through the device tunnel,
     # block_until_ready alone can return before execution completes)

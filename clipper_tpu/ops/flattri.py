@@ -90,13 +90,15 @@ def repack_stacked(MC: jnp.ndarray, t: int) -> jnp.ndarray:
     return jnp.concatenate(segs, axis=1)
 
 
-def _seg_matvec_lane(read, u_row, nt: int, t: int, cdt, acc_dtype):
+def _seg_matvec_lane(read, u_row, nt: int, t: int, cdt, acc_dtype,
+                     dot_acc=None):
     """One lane's (M u, C u) from its flat triangle, as unrolled segment
     matmuls — the shared math of the Pallas kernel body and the XLA
     fallback. ``read(r0, c0, r1, c1)`` returns the storage slice
     [r0:r1, c0:c1] of the lane's (2t, S) triangle (a REF slice in the
     kernel — loading the whole block as one value spills vregs); u_row:
-    (1, m) in ``cdt``. Returns (accM, accC) each (1, m) in ``acc_dtype``.
+    (K, m) candidate rows in ``cdt``. Returns (accM, accC), each (K, m)
+    in ``acc_dtype``.
 
     Mosaic has no dynamic_slice/scatter lowering, so the accumulator is
     assembled from STATIC pieces only: the forward products are disjoint
@@ -105,35 +107,40 @@ def _seg_matvec_lane(read, u_row, nt: int, t: int, cdt, acc_dtype):
     adds against the nt MXU contractions that dominate.
     """
     m = nt * t
+    K = u_row.shape[0]      # candidate rows per lane (1 = plain tick;
+    # a K-wide multiprobe line search rides the SAME storage read and the
+    # same MXU passes — extra candidate rows are nearly free here, unlike
+    # the stacked XLA GEMV where the MXU pads K to 128 lanes)
+    dot_acc = acc_dtype if dot_acc is None else dot_acc
     offs = tri_tile_offsets(nt)
     fwdM, fwdC = [], []
-    accM = jnp.zeros((1, m), acc_dtype)
-    accC = jnp.zeros((1, m), acc_dtype)
+    accM = jnp.zeros((K, m), acc_dtype)
+    accC = jnp.zeros((K, m), acc_dtype)
     for r in range(nt):
         L = nt - r
         c0 = offs[r] * t
         seg = read(0, c0, 2 * t, c0 + L * t).astype(cdt)     # (2t, L t)
-        u_c = jax.lax.slice(u_row, (0, r * t), (1, m))       # (1, L t)
+        u_c = jax.lax.slice(u_row, (0, r * t), (K, m))       # (K, L t)
         # forward: y[r] += [M; C]-segment applied to u's blocks r..nt-1
         P = jax.lax.dot_general(
             u_c, seg, (((1,), (1,)), ((), ())),
-            preferred_element_type=acc_dtype)                # (1, 2t)
-        fwdM.append(jax.lax.slice(P, (0, 0), (1, t)))
-        fwdC.append(jax.lax.slice(P, (0, t), (1, 2 * t)))
+            preferred_element_type=dot_acc).astype(acc_dtype)  # (K, 2t)
+        fwdM.append(jax.lax.slice(P, (0, 0), (K, t)))
+        fwdC.append(jax.lax.slice(P, (0, t), (K, 2 * t)))
         if L > 1:
             # transposed application of the strictly-upper tiles (the
             # diagonal tile — the segment's first t columns — is
             # full-symmetric already and excluded by the static slice)
-            u_r = jax.lax.slice(u_row, (0, r * t), (1, (r + 1) * t))
+            u_r = jax.lax.slice(u_row, (0, r * t), (K, (r + 1) * t))
             QM = jax.lax.dot_general(
                 u_r, jax.lax.slice(seg, (0, t), (t, L * t)),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype)            # (1, (L-1)t)
+                preferred_element_type=dot_acc).astype(acc_dtype)
             QC = jax.lax.dot_general(
                 u_r, jax.lax.slice(seg, (t, t), (2 * t, L * t)),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype)
-            z = jnp.zeros((1, (r + 1) * t), acc_dtype)
+                preferred_element_type=dot_acc).astype(acc_dtype)
+            z = jnp.zeros((K, (r + 1) * t), acc_dtype)
             accM = accM + jnp.concatenate([z, QM], axis=1)
             accC = accC + jnp.concatenate([z, QC], axis=1)
     accM = accM + jnp.concatenate(fwdM, axis=1)
@@ -142,7 +149,7 @@ def _seg_matvec_lane(read, u_row, nt: int, t: int, cdt, acc_dtype):
 
 
 def make_tri_pool_matvec(tri: jnp.ndarray, nt: int, out_dtype,
-                         interpret=None):
+                         interpret=None, dot_acc=None):
     """Batched per-lane dual matvec over flat-triangle pool storage.
 
     tri: (P, 2t, S) storage (int8/bf16/f32). Returns
@@ -175,7 +182,7 @@ def make_tri_pool_matvec(tri: jnp.ndarray, nt: int, out_dtype,
 
     def kernel(idx_ref, tri_ref, u_ref, out_ref):
         del idx_ref  # consumed by the tri BlockSpec index_map
-        tri_row = tri_ref[0]    # one whole-block VMEM load (measured
+        tri_row = tri_ref[...]  # one whole-block VMEM load (measured
         # faster than per-segment ref slices: overlapping segment reads
         # re-issue VMEM loads, and Mosaic pipelines the single big load)
 
@@ -183,41 +190,56 @@ def make_tri_pool_matvec(tri: jnp.ndarray, nt: int, out_dtype,
             return jax.lax.slice(tri_row, (r0, c0), (r1, c1))
 
         accM, accC = _seg_matvec_lane(read, u_ref[0], nt, t, cdt,
-                                      acc_dtype)
+                                      acc_dtype, dot_acc)
         out_ref[0] = jnp.concatenate([accM, accC], axis=1)
 
+    # the storage rides as a 2D (P * 2t, S) view with (2t, S) blocks: the
+    # natural 3D (1, 2t, S) block over (P, 2t, S) int8 delivers CORRUPTED
+    # data when P > 1 (measured round 5: ~2e-2 errors against the stacked
+    # oracle for ANY index pattern incl. constant 0, while P = 1 is exact
+    # to 1e-5 — a Mosaic block-fetch defect on leading-axis-indexed 3D
+    # int8 operands). The reshape is layout-free and the 2D path measures
+    # exact.
+    tri2 = tri.reshape(P * two_t, S)
+
     def bmv(idx, U):
+        """U: (B, m) plain tick, or (B, K, m) K-wide multiprobe candidate
+        rows per lane. Returns (MU, CU) of matching shape."""
         B = U.shape[0]
-        # each lane gets its own (1, 1, m) u block / (1, 1, 2m) out block:
+        mp = U.ndim == 3
+        K = U.shape[1] if mp else 1
+        # each lane gets its own (1, K, m) u block / (1, K, 2m) out block:
         # a singleton-row block at a DYNAMIC sublane offset of a (B, m)
         # array is untileable (Mosaic needs 8-aligned sublane starts), but
         # a leading lane axis is un-tiled and indexes freely
-        Ub = U.astype(cdt)[:, None, :]
+        Ub = U.astype(cdt).reshape(B, K, m)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
             in_specs=[
-                pl.BlockSpec((1, two_t, S), lambda b, idx_ref:
-                             (idx_ref[b], 0, 0)),
-                pl.BlockSpec((1, 1, m), lambda b, idx_ref: (b, 0, 0)),
+                pl.BlockSpec((two_t, S), lambda b, idx_ref:
+                             (idx_ref[b], 0)),
+                pl.BlockSpec((1, K, m), lambda b, idx_ref: (b, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, 2 * m),
+            out_specs=pl.BlockSpec((1, K, 2 * m),
                                    lambda b, idx_ref: (b, 0, 0)),
         )
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((B, 1, 2 * m), acc_dtype),
+            out_shape=jax.ShapeDtypeStruct((B, K, 2 * m), acc_dtype),
             cost_estimate=pl.CostEstimate(
-                flops=4 * m * m * B,
+                flops=4 * m * m * B * K,
                 bytes_accessed=B * two_t * S * tri.dtype.itemsize,
                 transcendentals=0),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(jnp.asarray(idx, jnp.int32), tri, Ub)
-        y = (out[:, 0, :] * scale).astype(out_dtype)
-        return y[:, :m], y[:, m:]
+        )(jnp.asarray(idx, jnp.int32), tri2, Ub)
+        y = (out * scale).astype(out_dtype)
+        if not mp:
+            return y[:, 0, :m], y[:, 0, m:]
+        return y[:, :, :m], y[:, :, m:]
 
     return bmv
 
@@ -417,18 +439,22 @@ def make_tri_pool_matvec_xla(tri: jnp.ndarray, nt: int, out_dtype):
     acc_dtype = jnp.float64 if tri.dtype == jnp.float64 else jnp.float32
     scale = jnp.asarray(1.0 / _INT8_SCALE if is_int8 else 1.0, acc_dtype)
 
-    def one(tri_row, u):
+    def one(tri_row, uK):
         def read(r0, c0, r1, c1):
             return jax.lax.slice(tri_row, (r0, c0), (r1, c1))
 
-        accM, accC = _seg_matvec_lane(read, u[None].astype(cdt), nt, t,
-                                      cdt, acc_dtype)
-        return accM[0], accC[0]
+        return _seg_matvec_lane(read, uK.astype(cdt), nt, t, cdt,
+                                acc_dtype)
 
     def bmv(idx, U):
-        MU, CU = jax.vmap(one)(tri[idx], U)
-        return ((MU * scale).astype(out_dtype),
-                (CU * scale).astype(out_dtype))
+        """U: (B, m) or (B, K, m) multiprobe candidates (see the Pallas
+        kernel's contract)."""
+        mp = U.ndim == 3
+        U2 = U if mp else U[:, None, :]
+        MU, CU = jax.vmap(one)(tri[idx], U2)
+        MU = (MU * scale).astype(out_dtype)
+        CU = (CU * scale).astype(out_dtype)
+        return (MU, CU) if mp else (MU[:, 0], CU[:, 0])
 
     return bmv
 

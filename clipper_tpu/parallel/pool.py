@@ -55,7 +55,7 @@ class _PoolState(NamedTuple):
 def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
                params: Params = Params(), *, lanes: int = 128,
                window: int = 8, problem_of: Optional[jnp.ndarray] = None,
-               return_windows: bool = False):
+               warm_alpha: bool = False, return_windows: bool = False):
     """Solve W prepared lane-instances with B=lanes compacted lanes.
 
     MCs: (P, 2m, m) stacked [M; C] per problem (any storage dtype; bf16
@@ -84,7 +84,8 @@ def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
     def lane_tick(idx_lane, s):
         mc_row = idx_lane if problem_of is None else problem_of[idx_lane]
         dual = msrc_flat.make_stacked_matvec(MCs[mc_row], dtype)
-        return msrc_flat.make_flat_tick(dual, params, dtype)(s)
+        return msrc_flat.make_flat_tick(dual, params, dtype,
+                                        warm_alpha=warm_alpha)(s)
 
     vtick = jax.vmap(lane_tick)
     return _pool_schedule(vtick, inits, m, lanes=lanes, window=window,
@@ -94,7 +95,9 @@ def solve_pool(MCs: jnp.ndarray, inits: msrc_flat._FlatState,
 def solve_pool_tri(tri: jnp.ndarray, nt: int, inits: msrc_flat._FlatState,
                    params: Params = Params(), *, lanes: int = 128,
                    window: int = 8, problem_of: Optional[jnp.ndarray] = None,
-                   matvec: str = "auto", return_windows: bool = False):
+                   matvec: str = "auto", ls_slack: float = 0.0,
+                   warm_alpha: bool = False, probes: int = 1,
+                   return_windows: bool = False):
     """:func:`solve_pool` over flat-triangle storage (ops/flattri.py).
 
     tri: (P, 2t, S) flat-segment or (P, T, 2t, t) tile-major packed
@@ -144,7 +147,17 @@ def solve_pool_tri(tri: jnp.ndarray, nt: int, inits: msrc_flat._FlatState,
         def bmv(idx, U):
             return base(problem_of[idx], U)
 
-    btick = msrc_flat.make_flat_tick_batched(bmv, params, dtype)
+    if probes > 1:
+        # K-wide in-tick line search: nearly free in the Pallas kernel
+        # (extra candidate rows ride the same storage read), and it
+        # collapses backtracking chains — see
+        # msrc_flat.make_flat_tick_multiprobe_batched
+        btick = msrc_flat.make_flat_tick_multiprobe_batched(
+            bmv, params, dtype, probes, warm_alpha=warm_alpha)
+    else:
+        btick = msrc_flat.make_flat_tick_batched(bmv, params, dtype,
+                                                 ls_slack=ls_slack,
+                                                 warm_alpha=warm_alpha)
     return _pool_schedule(btick, inits, m, lanes=lanes, window=window,
                           return_windows=return_windows)
 
@@ -382,7 +395,9 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
                        build: str = "auto",
                        fused: Optional[bool] = None,
                        layout: str = "stacked",
-                       tri_tile: int = 0):
+                       tri_tile: int = 0,
+                       tri_probes: int = 1,
+                       warm_alpha: bool = False):
     """Compile (D1, D2s, As, u0s) -> batched Solution via the pool engine.
 
     End-to-end: affinity build into a device-resident [M; C] pool
@@ -433,6 +448,14 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     supported on the fused and unfused single-device paths (a mesh forces
     'stacked'). tri_tile: storage tile t (0 = auto: 256 when m divides,
     else 128).
+
+    tri_probes: K-wide in-tick line search for the tri layout (candidate
+    rows ride the tri kernel's storage read nearly free, collapsing
+    backtracking chains — measured 2x solve-stage speedup at K=8 on the
+    headline workload); warm_alpha: carry the accepted line-search step
+    across iterations (see msrc_flat._tick_update). Both leave final
+    masks at the engine's standard quality (the line-search semantics are
+    the sequential reference's, evaluated K at a time).
     """
     rounding = _pool_rounding(params)
     build = _resolve_build(build, storage_dtype, invariant)
@@ -490,7 +513,8 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     @functools.partial(jax.jit, static_argnames=("nt", "mv_kind"))
     def solve_tri_jit(tri, inits, nt, mv_kind):
         return solve_pool_tri(tri, nt, inits, params, lanes=lanes,
-                              window=window, matvec=mv_kind)
+                              window=window, matvec=mv_kind,
+                              probes=tri_probes, warm_alpha=warm_alpha)
 
     build_tri_jit = jax.jit(build_tri_batch)
 
@@ -597,7 +621,9 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
             tri, inits = build_tri_batch(D1, D2s, As, u0s, m_trues)
             u, F, ifinal = solve_pool_tri(tri, nt, inits, params,
                                           lanes=lanes, window=window,
-                                          matvec=mv_kind)
+                                          matvec=mv_kind,
+                                          probes=tri_probes,
+                                          warm_alpha=warm_alpha)
         else:
             MCs, inits = vbuild(D1, D2s, As, u0s, m_trues)
             u, F, ifinal = solve(MCs, inits)

@@ -171,21 +171,25 @@ def flat_init_batched(batch_dual, idx, U0,
         lambda u, mu, cu: _init_from_mv(u, mu, cu, params, dtype))(U, MU, CU)
 
 
-def make_flat_tick_batched(batch_dual, params: Params, dtype):
+def make_flat_tick_batched(batch_dual, params: Params, dtype,
+                           ls_slack: float = 0.0,
+                           warm_alpha: bool = False):
     """Batched :func:`make_flat_tick`: (idx, states) -> states.
 
     All lanes' probe candidates are computed (vmapped :func:`_tick_probe`),
     ONE batched dual matvec evaluates them, and the per-lane updates are
     vmapped :func:`_tick_update` — the driver for batched matvecs that must
     run as a single kernel over all lanes (the flat-triangle pool engine,
-    ops/flattri.py) instead of a per-lane closure.
+    ops/flattri.py) instead of a per-lane closure. ls_slack: see
+    :func:`_tick_update`.
     """
     def body(idx, ls: _FlatState) -> _FlatState:
         U = jax.vmap(_tick_probe)(ls)
         MU, CU = batch_dual(idx, U)
         return jax.vmap(
             lambda s, un, mu, cu: _tick_update(s, un, mu, cu, params,
-                                               dtype))(ls, U, MU, CU)
+                                               dtype, ls_slack,
+                                               warm_alpha))(ls, U, MU, CU)
 
     return body
 
@@ -204,8 +208,34 @@ def _tick_probe(s: _FlatState) -> jnp.ndarray:
 
 
 def _tick_update(s: _FlatState, unew, Mu, Cu, params: Params,
-                 dtype) -> _FlatState:
-    """Everything after the tick's matvec (see :func:`make_flat_tick`)."""
+                 dtype, ls_slack: float = 0.0,
+                 warm_alpha: bool = False) -> _FlatState:
+    """Everything after the tick's matvec (see :func:`make_flat_tick`).
+
+    ls_slack: optional relative line-search slack — the accept test becomes
+    deltaF >= -max(eps_ls, ls_slack * |F|). Rationale (measured, round 5):
+    XLA's batched int8/bf16 GEMV accumulates with ~|F| * 4e-4 noise and a
+    negative bias on TPU, which silently behaved as exactly such a slack in
+    the quantized pool engines — their measured speed (nback ~ 0) depends
+    on it. An EXACT matvec (the flat-triangle Pallas kernel, f32-true
+    accumulation) honestly rejects the same tiny decreases and backtracks
+    4-5x more for identical final masks. The slack makes the tolerance
+    explicit and controlled instead of an accident of GEMV lowering; the
+    quantized storage already perturbs the objective by O(|F|/254), so
+    accepting decreases below that resolution loses nothing. Default 0.0 =
+    strict reference semantics (f64 bit parity untouched).
+
+    warm_alpha: carry the line-search step size across accepted steps
+    (alpha <- min(1, accepted / beta): retry one notch above what last
+    worked) instead of the reference's alpha = 1 reset at every inner
+    iteration (reference: src/clipper.cpp:227). At a large homotopy
+    penalty d the stable step is ~1/d, so each reference inner iteration
+    rediscovers it with ~log_beta(1/d) rejected probes — the measured
+    mid-rho backtracking tail (BENCH.md r4: slowest lanes 130-151
+    backtracks). Like power_init, an opt-in iteration strategy, not a
+    semantics change (default False keeps reference trajectories and f64
+    bit parity).
+    """
     stall_guard = msrc._stall_guard_enabled(dtype)
     one = jnp.asarray(1.0, dtype)
 
@@ -220,6 +250,9 @@ def _tick_update(s: _FlatState, unew, Mu, Cu, params: Params,
     # candidate accepted when objective did not decrease, or when the
     # line-search budget is exhausted (last candidate is kept).
     eps_ls = msrc._eps_like(params.eps, jnp.abs(s.F), dtype)
+    if ls_slack:
+        eps_ls = jnp.maximum(eps_ls,
+                             jnp.asarray(ls_slack, dtype) * jnp.abs(s.F))
     backtrack = (deltaF < -eps_ls) & (s.lsk + 1 < params.maxlsiters)
     accept = ~backtrack
 
@@ -262,7 +295,11 @@ def _tick_update(s: _FlatState, unew, Mu, Cu, params: Params,
     F_out = jnp.where(take_outer, F_refresh,
                       jnp.where(accept, Fnew, s.F))
     d_out = jnp.where(take_outer, d_new, s.d)
-    alpha_out = jnp.where(accept, one, s.alpha * params.beta)
+    if warm_alpha:
+        alpha_up = jnp.minimum(one, s.alpha / params.beta)
+    else:
+        alpha_up = one
+    alpha_out = jnp.where(accept, alpha_up, s.alpha * params.beta)
     lsk_out = jnp.where(accept, 0, s.lsk + 1)
     j_out = jnp.where(inner_done, 0, jnp.where(accept, j_next, s.j))
     i_out = jnp.where(inner_done, i_next, s.i)
@@ -285,7 +322,8 @@ def _tick_update(s: _FlatState, unew, Mu, Cu, params: Params,
     )
 
 
-def make_flat_tick(dual_matvec, params: Params, dtype):
+def make_flat_tick(dual_matvec, params: Params, dtype,
+                   ls_slack: float = 0.0, warm_alpha: bool = False):
     """One probe tick of the flat state machine: _FlatState -> _FlatState.
 
     Exactly the body of :func:`flat_solve_single`'s while_loop; lanes with
@@ -294,13 +332,16 @@ def make_flat_tick(dual_matvec, params: Params, dtype):
     Composed from :func:`_tick_probe` + one dual matvec + :func:`_tick_update`
     so batched drivers (parallel.pool's flat-triangle engine) can run the
     matvec once for all lanes with bit-identical per-lane arithmetic.
+    ls_slack / warm_alpha: see :func:`_tick_update` (defaults preserve
+    reference trajectories).
     """
 
     def body(s: _FlatState):
         # ---- probe (reference: clipper.cpp:235-242) ----
         unew = _tick_probe(s)
         Mu, Cu = dual_matvec(unew)
-        return _tick_update(s, unew, Mu, Cu, params, dtype)
+        return _tick_update(s, unew, Mu, Cu, params, dtype, ls_slack,
+                            warm_alpha)
 
     return body
 
@@ -326,6 +367,143 @@ def flat_solve_single(
     if return_ticks:
         return s.u, s.F, s.i, s.ticks, s.nback
     return s.u, s.F, s.i
+
+
+def _mp_probe(s: _FlatState, K: int, beta):
+    """K backtracking candidates (K, m) + their alphas (K,) for one lane.
+
+    Candidate step sizes are built by the reference's repeated
+    alpha * beta multiplication (reference: src/clipper.cpp:246-248) so
+    every candidate bit-matches the sequential path's probes.
+    """
+    a = s.alpha
+    alist = [a]
+    for _ in range(K - 1):
+        a = a * beta
+        alist.append(a)
+    alphas = jnp.stack(alist)                              # (K,)
+    U = jnp.maximum(s.u[None, :] + alphas[:, None] * s.gradF[None, :], 0.0)
+    U = U / jnp.linalg.norm(U, axis=1, keepdims=True)      # (K, m)
+    return U, alphas
+
+
+def _mp_update(s: _FlatState, U, MU, CU, alphas, params: Params, dtype,
+               warm_alpha: bool = False) -> _FlatState:
+    """Multiprobe tick tail: pick the first acceptable candidate
+    (reference: clipper.cpp:246-251) and run the standard accept/inner/
+    outer transitions — the (K, m)-oriented core of
+    :func:`flat_solve_single_multiprobe`'s loop body, shared with the
+    batched pool driver."""
+    K = U.shape[0]
+    one = jnp.asarray(1.0, dtype)
+    beta = jnp.asarray(params.beta, dtype)
+    stall_guard = msrc._stall_guard_enabled(dtype)
+
+    sU = jnp.sum(U, axis=1)                                # (K,)
+    gradFnewK = (MU + U) - s.d * (sU[:, None] - CU - U)
+    FnewK = jnp.einsum("km,km->k", U, gradFnewK)
+    deltaFK = FnewK - s.F
+
+    eps_ls = msrc._eps_like(params.eps, jnp.abs(s.F), dtype)
+    pos = s.lsk + jnp.arange(K, dtype=s.lsk.dtype)
+    ok = (deltaFK >= -eps_ls) | (pos + 1 >= params.maxlsiters)
+    accept = jnp.any(ok)
+    q = jnp.argmax(ok)                                     # first True
+    unew = U[q]
+    Mu_q = MU[q]
+    Cu_q = CU[q]
+    gradFnew = gradFnewK[q]
+    Fnew = FnewK[q]
+    deltaF = deltaFK[q]
+
+    deltau = jnp.linalg.norm(unew - s.u)
+    tol_u = msrc._eps_like(params.tol_u, 1.0, dtype)
+    tol_F = msrc._eps_like(params.tol_F, jnp.abs(Fnew), dtype)
+    inner_conv = (deltau < tol_u) | (jnp.abs(deltaF) < tol_F)
+    j_next = s.j + 1
+    inner_done = accept & (inner_conv | (j_next >= params.maxiniters))
+
+    idxD, ratio = _d_terms(unew, Mu_q, Cu_q, params, dtype)
+    active = jnp.any(idxD)
+    deltad = msrc._masked_mean(jnp.abs(ratio), idxD)
+    d_new = s.d + deltad
+    i_next = jnp.where(active, s.i + 1, s.i)
+    outer_exhausted = i_next >= params.maxoliters
+    lane_done = inner_done & (~active | outer_exhausted)
+
+    frozen = inner_done & (s.j == 0) & (deltau < tol_u)
+    stall_next = jnp.where(inner_done,
+                           jnp.where(frozen, s.stall + 1, 0), s.stall)
+    if stall_guard:
+        lane_done = lane_done | (inner_done &
+                                 (stall_next >= msrc._STALL_OUTERS))
+
+    grad_refresh = _grad_from_mv(unew, d_new, Mu_q, Cu_q)
+    F_refresh = jnp.dot(unew, grad_refresh)
+
+    take_outer = inner_done & active & ~outer_exhausted & ~lane_done
+
+    u_out = jnp.where(accept, unew, s.u)
+    gradF_out = jnp.where(take_outer, grad_refresh,
+                          jnp.where(accept, gradFnew, s.gradF))
+    F_out = jnp.where(take_outer, F_refresh,
+                      jnp.where(accept, Fnew, s.F))
+    d_out = jnp.where(take_outer, d_new, s.d)
+    if warm_alpha:
+        alpha_up = jnp.minimum(one, alphas[q] / params.beta)
+    else:
+        alpha_up = one
+    alpha_out = jnp.where(accept, alpha_up, alphas[-1] * beta)
+    lsk_out = jnp.where(accept, 0, s.lsk + K)
+    j_out = jnp.where(inner_done, 0, jnp.where(accept, j_next, s.j))
+    i_out = jnp.where(inner_done, i_next, s.i)
+
+    frz = s.done
+    return _FlatState(
+        u=jnp.where(frz, s.u, u_out),
+        gradF=jnp.where(frz, s.gradF, gradF_out),
+        F=jnp.where(frz, s.F, F_out),
+        d=jnp.where(frz, s.d, d_out),
+        alpha=jnp.where(frz, s.alpha, alpha_out),
+        lsk=jnp.where(frz, s.lsk, lsk_out),
+        j=jnp.where(frz, s.j, j_out),
+        i=jnp.where(frz, s.i, i_out),
+        done=s.done | lane_done,
+        stall=jnp.where(frz, s.stall, stall_next),
+        ticks=jnp.where(frz, s.ticks, s.ticks + 1),
+        nback=jnp.where(frz, s.nback,
+                        s.nback + jnp.where(accept, q, K).astype(
+                            s.nback.dtype)),
+    )
+
+
+def make_flat_tick_multiprobe_batched(batch_dual, params: Params, dtype,
+                                      probes: int,
+                                      warm_alpha: bool = False):
+    """Batched K-wide multiprobe tick: (idx, states) -> states.
+
+    Each tick evaluates K backtracking candidates per lane in ONE batched
+    matvec over (B, K, m) candidate rows. In the flat-triangle Pallas
+    kernel the extra candidate rows ride the same storage read and MXU
+    passes, so a tick costs ~the same as K = 1 — collapsing every
+    backtracking chain of up to K rejected probes into a single tick
+    (semantics identical to the sequential reference line search, see
+    :func:`flat_solve_single_multiprobe`). The measured motivation
+    (round 5): exact-arithmetic matvecs spend ~half their ticks on honest
+    rejected probes that XLA's noisy fused GEMV happened to accept.
+    """
+    K = int(probes)
+    beta = jnp.asarray(params.beta, dtype)
+
+    def body(idx, ls: _FlatState) -> _FlatState:
+        U, alphas = jax.vmap(lambda s: _mp_probe(s, K, beta))(ls)
+        MU, CU = batch_dual(idx, U)                  # (B, K, m) each
+        return jax.vmap(
+            lambda s, u, mu, cu, al: _mp_update(s, u, mu, cu, al, params,
+                                                dtype, warm_alpha))(
+            ls, U, MU, CU, alphas)
+
+    return body
 
 
 def flat_solve_ticks(dual_matvec, state: _FlatState,
