@@ -51,13 +51,14 @@ def main():
     inv = harness.default_invariant()
     from clipper_tpu.types import Params
     # pool (lane-compaction) engine on flat-triangle int8 storage (half
-    # the per-tick HBM of dense stacked) with the K=8 in-kernel multiprobe
+    # the per-tick HBM of dense stacked) with the K=16 in-kernel multiprobe
     # line search (candidate rows ride the triangle read nearly free) and
     # full-precision objective polish: the highest-throughput config at
     # P/R identical to the f32 path (round 5, see BENCH.md)
-    pipe = pool.make_pool_pipeline(inv, Params(), lanes=128, window=6,
+    pipe = pool.make_pool_pipeline(inv, Params(), lanes=128, window=2,
                                    storage_dtype=jnp.int8, power_steps=4,
-                                   chunk=128, layout="tri", tri_probes=8)
+                                   chunk=128, layout="tri", tri_probes=16,
+                                   d_scale=0.15)
 
     # compile + warm up (force a host fetch: through the device tunnel,
     # block_until_ready alone can return before execution completes)

@@ -52,15 +52,27 @@ def main():
     pcd0 = harness.load_bunny()
     inv = harness.default_invariant()
     if engine == "pool":
-        # headline config: lane compaction keeps one slow trial (e.g. the
-        # m=2048 rho=0.4 backtracking tail) from stalling the whole cell
-        pipe = pool.make_pool_pipeline(inv, Params(), storage_dtype=jnp.int8,
-                                       lanes=min(trials, 128), window=12,
-                                       power_steps=4)
+        # headline config (round 5): flat-triangle storage + K=16 in-kernel
+        # multiprobe for 128-divisible m — the multiprobe collapses the
+        # m=2048 mid-rho backtracking tails (each tick evaluates a whole
+        # alpha-decay chain); the m=64 cells take the stacked engine
+        pipe_tri = pool.make_pool_pipeline(
+            inv, Params(), storage_dtype=jnp.int8,
+            lanes=min(trials, 128), window=2, power_steps=4,
+            layout="tri", tri_probes=16, d_scale=0.15)
+        pipe_stacked = pool.make_pool_pipeline(
+            inv, Params(), storage_dtype=jnp.int8,
+            lanes=min(trials, 128), window=12, power_steps=4)
+
+        def pipe_for(m):
+            return pipe_tri if m % 128 == 0 else pipe_stacked
     else:
         pipe = batched.make_batched_pipeline(inv, Params(), shared_d1=True,
                                              solver="flat",
                                              matvec="stacked_bf16")
+
+        def pipe_for(m):
+            return pipe
 
     print("| rho | m | end-to-end/problem [ms] | batch total [ms] | P [%] | R [%] |")
     print("|---|---|---|---|---|---|")
@@ -77,6 +89,7 @@ def main():
             u0s = jax.vmap(lambda k: utils.randvec(k, m, dtype=jnp.float32))(
                 jax.random.split(sub, trials))
 
+            pipe = pipe_for(m)
             solns = pipe(D1, D2s, As, u0s)
             np.asarray(solns.score)  # compile + warm
             t0 = time.perf_counter()

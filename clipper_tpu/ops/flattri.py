@@ -563,6 +563,97 @@ def build_tri_pallas(invariant: PairwiseInvariant, P1s, P2s, As, m_trues,
       P1s, P1t, P2s, P2t, As, Ast)
 
 
+def build_tri_pallas_fused(invariant: PairwiseInvariant, P1s, P2s, As,
+                           m_trues, *, t: int = 256,
+                           affinityeps: float = 1e-4,
+                           storage_dtype=jnp.int8):
+    """One-GRID-PROGRAM-per-problem fused flat-triangle build.
+
+    build_tri_pallas runs one program per (problem, tile); at the headline
+    shapes the per-program fixed cost dominates the build (round 4's
+    write-floor ablation: the grid floor sat 4.6x above the plain-XLA
+    write). Here grid = (W,) and the kernel computes ALL T upper tiles of
+    its problem in one statically-unrolled loop: the endpoint operands are
+    the problem's whole (m_pad, d) arrays (a few KB — every tile slices
+    them statically) and the output is one contiguous (2t, S) write.
+    Same masks/quantization as build_tri_pallas (bit-identical, tested).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from clipper_tpu.solvers.msrc_flat import _INT8_SCALE
+
+    W, m_pad, d = P1s.shape
+    assert m_pad % t == 0, (m_pad, t)
+    nt = m_pad // t
+    S = tri_ncols(nt, t)
+    rs, cs, offs = tri_coords(nt)
+    is_int8 = jnp.dtype(storage_dtype) == jnp.int8
+
+    score_block_t = getattr(invariant, "score_block_t", None)
+    if score_block_t is None or not getattr(invariant, "symmetric", False):
+        raise ValueError("build_tri_pallas_fused requires a symmetric "
+                         "invariant with score_block_t")
+
+    P1t = jnp.swapaxes(P1s, 1, 2)
+    P2t = jnp.swapaxes(P2s, 1, 2)
+    Ast = jnp.swapaxes(As, 1, 2)
+    mts = jnp.asarray(m_trues, jnp.int32)
+
+    def kernel(mt_ref, P1r_ref, P1ct_ref, P2r_ref, P2ct_ref, Ar_ref,
+               Act_ref, out_ref):
+        w = pl.program_id(0)
+        lim = mt_ref[w]
+        for k in range(len(rs)):
+            r, c, off = int(rs[k]), int(cs[k]), int(offs[k])
+            scores = score_block_t(
+                P1r_ref[0, r * t:(r + 1) * t, :],
+                P1ct_ref[0, :, c * t:(c + 1) * t],
+                P2r_ref[0, r * t:(r + 1) * t, :],
+                P2ct_ref[0, :, c * t:(c + 1) * t])
+            Ar = Ar_ref[0, r * t:(r + 1) * t, :]
+            Act = Act_ref[0, :, c * t:(c + 1) * t]
+            distinct = ~(
+                (jax.lax.slice_in_dim(Ar, 0, 1, axis=1)
+                 == jax.lax.slice_in_dim(Act, 0, 1, axis=0))
+                | (jax.lax.slice_in_dim(Ar, 1, 2, axis=1)
+                   == jax.lax.slice_in_dim(Act, 1, 2, axis=0)))
+            gr = r * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+            gc = c * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+            keep = (distinct & (gr != gc) & (gr < lim) & (gc < lim)
+                    & (scores > affinityeps))
+            if is_int8:
+                Mq = jnp.clip(jnp.round(jnp.where(keep, scores, 0.0)
+                                        * _INT8_SCALE), 0, 127)
+                Cq = jnp.where(keep, _INT8_SCALE, 0.0)
+            else:
+                Mq = jnp.where(keep, scores, 0.0)
+                Cq = jnp.where(keep, 1.0, 0.0)
+            out_ref[0, :t, off * t:(off + 1) * t] = Mq.astype(storage_dtype)
+            out_ref[0, t:, off * t:(off + 1) * t] = Cq.astype(storage_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((1, m_pad, d), lambda w, mt: (w, 0, 0)),
+            pl.BlockSpec((1, d, m_pad), lambda w, mt: (w, 0, 0)),
+            pl.BlockSpec((1, m_pad, d), lambda w, mt: (w, 0, 0)),
+            pl.BlockSpec((1, d, m_pad), lambda w, mt: (w, 0, 0)),
+            pl.BlockSpec((1, m_pad, 2), lambda w, mt: (w, 0, 0)),
+            pl.BlockSpec((1, 2, m_pad), lambda w, mt: (w, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * t, S), lambda w, mt: (w, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((W, 2 * t, S), storage_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(mts, P1s, P1t, P2s, P2t, As, Ast)
+
+
 def build_tri_xla(invariant: PairwiseInvariant, D1, D2, A, m_true, *,
                   t: int = 256, affinityeps: float = 1e-4,
                   storage_dtype=jnp.int8):

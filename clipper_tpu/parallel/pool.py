@@ -97,6 +97,7 @@ def solve_pool_tri(tri: jnp.ndarray, nt: int, inits: msrc_flat._FlatState,
                    window: int = 8, problem_of: Optional[jnp.ndarray] = None,
                    matvec: str = "auto", ls_slack: float = 0.0,
                    warm_alpha: bool = False, probes: int = 1,
+                   stall_outers: int = 0, d_scale: float = 1.0,
                    return_windows: bool = False):
     """:func:`solve_pool` over flat-triangle storage (ops/flattri.py).
 
@@ -153,11 +154,14 @@ def solve_pool_tri(tri: jnp.ndarray, nt: int, inits: msrc_flat._FlatState,
         # collapses backtracking chains — see
         # msrc_flat.make_flat_tick_multiprobe_batched
         btick = msrc_flat.make_flat_tick_multiprobe_batched(
-            bmv, params, dtype, probes, warm_alpha=warm_alpha)
+            bmv, params, dtype, probes, warm_alpha=warm_alpha,
+            stall_outers=stall_outers, d_scale=d_scale)
     else:
         btick = msrc_flat.make_flat_tick_batched(bmv, params, dtype,
                                                  ls_slack=ls_slack,
-                                                 warm_alpha=warm_alpha)
+                                                 warm_alpha=warm_alpha,
+                                                 stall_outers=stall_outers,
+                                                 d_scale=d_scale)
     return _pool_schedule(btick, inits, m, lanes=lanes, window=window,
                           return_windows=return_windows)
 
@@ -397,7 +401,9 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
                        layout: str = "stacked",
                        tri_tile: int = 0,
                        tri_probes: int = 1,
-                       warm_alpha: bool = False):
+                       warm_alpha: bool = False,
+                       stall_outers: int = 0,
+                       d_scale: float = 1.0):
     """Compile (D1, D2s, As, u0s) -> batched Solution via the pool engine.
 
     End-to-end: affinity build into a device-resident [M; C] pool
@@ -489,6 +495,10 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
             P1s = (D1[As[..., 0]] if shared_d1
                    else jax.vmap(lambda d, a: d[a])(D1, As[..., 0]))
             P2s = jax.vmap(lambda d, a: d[a])(D2s, As[..., 1])
+            # per-tile grid build; the one-program-per-problem variant
+            # (build_tri_pallas_fused) measured a wash at the headline
+            # shapes (76.6 vs 74.7 ms e2e, within tunnel variance) — the
+            # build is no longer per-program-overhead-bound at W x T grid
             tri = flattri.build_tri_pallas(
                 invariant, P1s, P2s, As, m_trues, t=t,
                 affinityeps=affinityeps, storage_dtype=storage_dtype)
@@ -514,7 +524,8 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     def solve_tri_jit(tri, inits, nt, mv_kind):
         return solve_pool_tri(tri, nt, inits, params, lanes=lanes,
                               window=window, matvec=mv_kind,
-                              probes=tri_probes, warm_alpha=warm_alpha)
+                              probes=tri_probes, warm_alpha=warm_alpha,
+                              stall_outers=stall_outers, d_scale=d_scale)
 
     build_tri_jit = jax.jit(build_tri_batch)
 
@@ -623,7 +634,9 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
                                           lanes=lanes, window=window,
                                           matvec=mv_kind,
                                           probes=tri_probes,
-                                          warm_alpha=warm_alpha)
+                                          warm_alpha=warm_alpha,
+                                          stall_outers=stall_outers,
+                                          d_scale=d_scale)
         else:
             MCs, inits = vbuild(D1, D2s, As, u0s, m_trues)
             u, F, ifinal = solve(MCs, inits)

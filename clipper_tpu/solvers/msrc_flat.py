@@ -173,7 +173,9 @@ def flat_init_batched(batch_dual, idx, U0,
 
 def make_flat_tick_batched(batch_dual, params: Params, dtype,
                            ls_slack: float = 0.0,
-                           warm_alpha: bool = False):
+                           warm_alpha: bool = False,
+                           stall_outers: int = 0,
+                           d_scale: float = 1.0):
     """Batched :func:`make_flat_tick`: (idx, states) -> states.
 
     All lanes' probe candidates are computed (vmapped :func:`_tick_probe`),
@@ -189,7 +191,8 @@ def make_flat_tick_batched(batch_dual, params: Params, dtype,
         return jax.vmap(
             lambda s, un, mu, cu: _tick_update(s, un, mu, cu, params,
                                                dtype, ls_slack,
-                                               warm_alpha))(ls, U, MU, CU)
+                                               warm_alpha, stall_outers,
+                                               d_scale))(ls, U, MU, CU)
 
     return body
 
@@ -209,7 +212,9 @@ def _tick_probe(s: _FlatState) -> jnp.ndarray:
 
 def _tick_update(s: _FlatState, unew, Mu, Cu, params: Params,
                  dtype, ls_slack: float = 0.0,
-                 warm_alpha: bool = False) -> _FlatState:
+                 warm_alpha: bool = False,
+                 stall_outers: int = 0,
+                 d_scale: float = 1.0) -> _FlatState:
     """Everything after the tick's matvec (see :func:`make_flat_tick`).
 
     ls_slack: optional relative line-search slack — the accept test becomes
@@ -237,6 +242,7 @@ def _tick_update(s: _FlatState, unew, Mu, Cu, params: Params,
     bit parity).
     """
     stall_guard = msrc._stall_guard_enabled(dtype)
+    stall_outers = stall_outers or msrc._STALL_OUTERS
     one = jnp.asarray(1.0, dtype)
 
     def d_terms(u, Mu, Cu):
@@ -265,9 +271,18 @@ def _tick_update(s: _FlatState, unew, Mu, Cu, params: Params,
     inner_done = accept & (inner_conv | (j_next >= params.maxiniters))
 
     # ---- outer transition (reference: clipper.cpp:268-280, 218-220) ----
+    # d_scale < 1 refines the homotopy schedule (d += d_scale * deltad):
+    # measured round 5, the exact-arithmetic engines lose 3-4 pts of
+    # recall at mid outlier ratios under the reference's full-step
+    # schedule (partial-clique basins, Fmin 118 vs 182 at rho=0.8), while
+    # d_scale=0.15 restores the stacked engine's basins exactly at ~2%
+    # headline cost (the multiprobe ticks absorb the extra outers).
+    # Default 1.0 = reference schedule (f64 parity untouched).
     idxD, ratio = d_terms(unew, Mu, Cu)
     active = jnp.any(idxD)
     deltad = msrc._masked_mean(jnp.abs(ratio), idxD)
+    if d_scale != 1.0:
+        deltad = deltad * jnp.asarray(d_scale, dtype)
     d_new = s.d + deltad
     i_next = jnp.where(active, s.i + 1, s.i)
     outer_exhausted = i_next >= params.maxoliters
@@ -279,8 +294,7 @@ def _tick_update(s: _FlatState, unew, Mu, Cu, params: Params,
     stall_next = jnp.where(inner_done,
                            jnp.where(frozen, s.stall + 1, 0), s.stall)
     if stall_guard:
-        lane_done = lane_done | (inner_done &
-                                 (stall_next >= msrc._STALL_OUTERS))
+        lane_done = lane_done | (inner_done & (stall_next >= stall_outers))
 
     # refreshed gradient/objective for the new d (same Mu/Cu — this IS
     # the matvec the reference recomputes at clipper.cpp:219)
@@ -388,7 +402,9 @@ def _mp_probe(s: _FlatState, K: int, beta):
 
 
 def _mp_update(s: _FlatState, U, MU, CU, alphas, params: Params, dtype,
-               warm_alpha: bool = False) -> _FlatState:
+               warm_alpha: bool = False,
+               stall_outers: int = 0,
+               d_scale: float = 1.0) -> _FlatState:
     """Multiprobe tick tail: pick the first acceptable candidate
     (reference: clipper.cpp:246-251) and run the standard accept/inner/
     outer transitions — the (K, m)-oriented core of
@@ -398,6 +414,7 @@ def _mp_update(s: _FlatState, U, MU, CU, alphas, params: Params, dtype,
     one = jnp.asarray(1.0, dtype)
     beta = jnp.asarray(params.beta, dtype)
     stall_guard = msrc._stall_guard_enabled(dtype)
+    stall_outers = stall_outers or msrc._STALL_OUTERS
 
     sU = jnp.sum(U, axis=1)                                # (K,)
     gradFnewK = (MU + U) - s.d * (sU[:, None] - CU - U)
@@ -426,6 +443,8 @@ def _mp_update(s: _FlatState, U, MU, CU, alphas, params: Params, dtype,
     idxD, ratio = _d_terms(unew, Mu_q, Cu_q, params, dtype)
     active = jnp.any(idxD)
     deltad = msrc._masked_mean(jnp.abs(ratio), idxD)
+    if d_scale != 1.0:
+        deltad = deltad * jnp.asarray(d_scale, dtype)
     d_new = s.d + deltad
     i_next = jnp.where(active, s.i + 1, s.i)
     outer_exhausted = i_next >= params.maxoliters
@@ -435,8 +454,7 @@ def _mp_update(s: _FlatState, U, MU, CU, alphas, params: Params, dtype,
     stall_next = jnp.where(inner_done,
                            jnp.where(frozen, s.stall + 1, 0), s.stall)
     if stall_guard:
-        lane_done = lane_done | (inner_done &
-                                 (stall_next >= msrc._STALL_OUTERS))
+        lane_done = lane_done | (inner_done & (stall_next >= stall_outers))
 
     grad_refresh = _grad_from_mv(unew, d_new, Mu_q, Cu_q)
     F_refresh = jnp.dot(unew, grad_refresh)
@@ -479,7 +497,9 @@ def _mp_update(s: _FlatState, U, MU, CU, alphas, params: Params, dtype,
 
 def make_flat_tick_multiprobe_batched(batch_dual, params: Params, dtype,
                                       probes: int,
-                                      warm_alpha: bool = False):
+                                      warm_alpha: bool = False,
+                                      stall_outers: int = 0,
+                                      d_scale: float = 1.0):
     """Batched K-wide multiprobe tick: (idx, states) -> states.
 
     Each tick evaluates K backtracking candidates per lane in ONE batched
@@ -500,7 +520,8 @@ def make_flat_tick_multiprobe_batched(batch_dual, params: Params, dtype,
         MU, CU = batch_dual(idx, U)                  # (B, K, m) each
         return jax.vmap(
             lambda s, u, mu, cu, al: _mp_update(s, u, mu, cu, al, params,
-                                                dtype, warm_alpha))(
+                                                dtype, warm_alpha,
+                                                stall_outers, d_scale))(
             ls, U, MU, CU, alphas)
 
     return body

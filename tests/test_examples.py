@@ -39,5 +39,6 @@ def test_ex5():
     # small m keeps the CPU run in CI budget; the example defaults to
     # m=16,384 on real hardware
     out = run_example("ex5_large_scale.py", "2048")
-    assert "single-device triangle solve" in out
+    assert "facade triangle engine" in out
+    assert "sharded facade engine" in out
     assert "precision" in out
