@@ -163,3 +163,74 @@ def test_pool_tri_rejects_bad_m():
     u0s = jnp.ones((2, 100), jnp.float32)
     with pytest.raises(ValueError, match="divisible"):
         pipe(D1, D2s, As, u0s)
+
+
+def test_pool_tri_multiprobe_matches_quality():
+    """probes>1 (the K-wide in-tick line search) and d_scale keep the
+    engine's registration quality (CPU XLA fallback path)."""
+    rng = np.random.default_rng(5)
+    key = jax.random.PRNGKey(0)
+    pcd0 = harness.load_bunny()
+    B, m, rho = 6, 256, 0.9
+    problems = [harness.make_problem(pcd0, m, rho, rng) for _ in range(B)]
+    D1 = jnp.asarray(pcd0, jnp.float32)
+    D2s = jnp.stack([jnp.asarray(p[0], jnp.float32) for p in problems])
+    As = jnp.stack([jnp.asarray(p[1], jnp.int32) for p in problems])
+    u0s = jax.vmap(lambda k: utils.randvec(k, m, dtype=jnp.float32))(
+        jax.random.split(key, B))
+    inv = harness.default_invariant()
+    pipe = pool.make_pool_pipeline(inv, Params(), lanes=4, window=2,
+                                   storage_dtype=jnp.int8, power_steps=4,
+                                   layout="tri", tri_probes=8,
+                                   d_scale=0.15)
+    s = pipe(D1, D2s, As, u0s)
+    masks = np.asarray(s.mask)
+    ps, rs = [], []
+    for b, (_, A, Agt) in enumerate(problems):
+        p, r = data.get_precision_recall(np.asarray(As[b])[masks[b]], Agt)
+        ps.append(p)
+        rs.append(r)
+    assert np.mean(ps) > 0.97 and np.mean(rs) > 0.8
+
+
+def test_multiprobe_candidates_match_sequential():
+    """One multiprobe tick's chosen candidate equals K sequential ticks'
+    final accepted state when all but the last probe reject — the
+    semantics contract of the K-wide line search (f64, CPU)."""
+    rng = np.random.default_rng(6)
+    m = 128
+    params = Params()
+    MC = jnp.asarray(_random_stacked(rng, m))
+    mv = msrc_flat.make_stacked_matvec(MC, jnp.float64)
+
+    def bmv(idx, U):
+        del idx
+        if U.ndim == 3:
+            MU, CU = jax.vmap(lambda row: jax.vmap(mv)(row))(U)
+            return MU, CU
+        return jax.vmap(mv)(U)
+
+    u0 = utils.randvec(jax.random.PRNGKey(1), m, dtype=jnp.float64)
+    init = msrc_flat.flat_init(mv, u0, params)
+    binit = jax.tree.map(lambda a: a[None], init)
+    idx = jnp.zeros(1, jnp.int32)
+
+    K = 4
+    btick_mp = msrc_flat.make_flat_tick_multiprobe_batched(
+        bmv, params, jnp.float64, probes=K)
+    tick_seq = msrc_flat.make_flat_tick(mv, params, jnp.float64)
+
+    s_mp = btick_mp(idx, binit)
+    s_seq = init
+    # advance the sequential path until it either accepts or has burned
+    # the same K probes the multiprobe tick evaluated
+    for _ in range(K):
+        prev_lsk = int(s_seq.lsk)
+        s_seq = tick_seq(s_seq)
+        if int(s_seq.lsk) == 0:      # accepted
+            break
+    np.testing.assert_allclose(np.asarray(s_mp.u[0]), np.asarray(s_seq.u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(float(s_mp.F[0]), float(s_seq.F),
+                               rtol=0, atol=1e-12)
+    assert int(s_mp.d.shape[0]) == 1
