@@ -429,7 +429,7 @@ def solve_single(invariant: PairwiseInvariant, D1, D2, A, u0,
                  storage_dtype=jnp.int8, probes: int = 1,
                  power_steps: int = 0, support: int = 512,
                  build_chunk: int = 256, mv_chunk: int = 4096,
-                 matvec: str = "auto"):
+                 matvec: str = "auto", d_scale: float = 1.0):
     """End-to-end single-problem solve over symmetric-triangle storage.
 
     The capacity configuration for one chip: build tiles on device in
@@ -474,16 +474,18 @@ def solve_single(invariant: PairwiseInvariant, D1, D2, A, u0,
         affinityeps=affinityeps,
         storage_dtype=jnp.dtype(storage_dtype).name,
         probes=probes, power_steps=power_steps, support=support,
-        build_chunk=build_chunk, mv_chunk=mv_chunk, matvec=matvec)
+        build_chunk=build_chunk, mv_chunk=mv_chunk, matvec=matvec,
+        d_scale=d_scale)
     return u[:m], F, ifinal
 
 
 @functools.partial(jax.jit, static_argnames=(
     "invariant", "params", "tile", "affinityeps", "storage_dtype", "probes",
-    "power_steps", "support", "build_chunk", "mv_chunk", "matvec"))
+    "power_steps", "support", "build_chunk", "mv_chunk", "matvec",
+    "d_scale"))
 def _solve_padded(invariant, P1, P2, A, u0, m_true, *, params, tile,
                   affinityeps, storage_dtype, probes, power_steps, support,
-                  build_chunk, mv_chunk, matvec="xla"):
+                  build_chunk, mv_chunk, matvec="xla", d_scale=1.0):
     from clipper_tpu.parallel.pool import support_objective
 
     storage = jnp.dtype(storage_dtype)
@@ -509,9 +511,10 @@ def _solve_padded(invariant, P1, P2, A, u0, m_true, *, params, tile,
         u0 = msrc_flat.power_init(mv, u0, power_steps)
     if probes > 1:
         u, F, ifinal = msrc_flat.flat_solve_single_multiprobe(
-            mv, u0, params, probes=probes)
+            mv, u0, params, probes=probes, d_scale=d_scale)
     else:
-        u, F, ifinal = msrc_flat.flat_solve_single(mv, u0, params)
+        u, F, ifinal = msrc_flat.flat_solve_single(mv, u0, params,
+                                                   d_scale=d_scale)
     # full-precision objective polish (omega = round(F) needs accuracy
     # well under 0.5 — int8 in-loop F carries a systematic positive bias,
     # BENCH.md round 2). The top-k polish is exact only for supports <= k;
@@ -779,7 +782,8 @@ def build_symshard_pipeline(invariant: PairwiseInvariant, mesh,
                             storage_dtype=jnp.int8, probes: int = 1,
                             power_steps: int = 0, support: int = 1024,
                             build_chunk: int = 64, mv_chunk: int = 512,
-                            matvec: str = "auto", G: int = 32):
+                            matvec: str = "auto", G: int = 32,
+                            d_scale: float = 1.0):
     """Compile the triangle-sharded pipeline over a 1D device mesh.
 
     Composition of the two capacity levers: symmetric-triangle tile storage
@@ -862,9 +866,10 @@ def build_symshard_pipeline(invariant: PairwiseInvariant, mesh,
             u0i = u0
         if probes > 1:
             u, F, ifinal = msrc_flat.flat_solve_single_multiprobe(
-                mv, u0i, params, probes=probes)
+                mv, u0i, params, probes=probes, d_scale=d_scale)
         else:
-            u, F, ifinal = msrc_flat.flat_solve_single(mv, u0i, params)
+            u, F, ifinal = msrc_flat.flat_solve_single(mv, u0i, params,
+                                                       d_scale=d_scale)
 
         # full-precision polish (omega = round(F) accuracy, see
         # _solve_padded). The predicate is computed from the REPLICATED u,
@@ -929,7 +934,7 @@ def solve_sharded_sym(invariant: PairwiseInvariant, D1, D2, A, u0,
                       probes: int = 1, power_steps: int = 0,
                       support: int = 1024, build_chunk: int = 64,
                       mv_chunk: int = 512, matvec: str = "auto",
-                      G: int = 32):
+                      G: int = 32, d_scale: float = 1.0):
     """End-to-end triangle-sharded solve of one huge problem.
 
     D1/D2 are (n, d) row-major datasets; A is (m, 2); u0 is (m,). See
@@ -996,7 +1001,7 @@ def solve_sharded_sym(invariant: PairwiseInvariant, D1, D2, A, u0,
         invariant, mesh, params, tile=t, affinityeps=affinityeps,
         storage_dtype=storage_dtype, probes=probes, power_steps=power_steps,
         support=support, build_chunk=build_chunk, mv_chunk=mv_chunk,
-        matvec=matvec, G=G)
+        matvec=matvec, G=G, d_scale=d_scale)
     u, F, ifinal, mask = pipeline(*coords, P1, P2, A, u0, m)
     return Solution(ifinal=ifinal, mask=mask[:m], u0=u0[:m], u=u[:m],
                     score=F)

@@ -337,7 +337,8 @@ def _tick_update(s: _FlatState, unew, Mu, Cu, params: Params,
 
 
 def make_flat_tick(dual_matvec, params: Params, dtype,
-                   ls_slack: float = 0.0, warm_alpha: bool = False):
+                   ls_slack: float = 0.0, warm_alpha: bool = False,
+                   d_scale: float = 1.0):
     """One probe tick of the flat state machine: _FlatState -> _FlatState.
 
     Exactly the body of :func:`flat_solve_single`'s while_loop; lanes with
@@ -355,7 +356,7 @@ def make_flat_tick(dual_matvec, params: Params, dtype,
         unew = _tick_probe(s)
         Mu, Cu = dual_matvec(unew)
         return _tick_update(s, unew, Mu, Cu, params, dtype, ls_slack,
-                            warm_alpha)
+                            warm_alpha, d_scale=d_scale)
 
     return body
 
@@ -366,6 +367,7 @@ def flat_solve_single(
     u0: jnp.ndarray,
     params: Params = Params(),
     *,
+    d_scale: float = 1.0,
     return_ticks: bool = False,
 ):
     """One lane of the flattened solver. vmap this for batches.
@@ -373,9 +375,10 @@ def flat_solve_single(
     dual_matvec(u) must return (M @ u, C @ u).
     Returns (u, F, ifinal) with reference semantics; with
     ``return_ticks=True`` also the lane's total probe count (for tail
-    diagnostics under vmap).
+    diagnostics under vmap). d_scale: homotopy schedule refinement (see
+    :func:`_tick_update`; 1.0 = reference schedule).
     """
-    tick = make_flat_tick(dual_matvec, params, u0.dtype)
+    tick = make_flat_tick(dual_matvec, params, u0.dtype, d_scale=d_scale)
     init = flat_init(dual_matvec, u0, params)
     s = jax.lax.while_loop(lambda s: ~s.done, tick, init)
     if return_ticks:
@@ -558,6 +561,7 @@ def flat_solve_single_multiprobe(
     params: Params = Params(),
     *,
     probes: int = 8,
+    d_scale: float = 1.0,
     return_ticks: bool = False,
 ):
     """Flat solver with a K-wide line search: K candidates per matvec tick.
@@ -661,6 +665,8 @@ def flat_solve_single_multiprobe(
         idxD, ratio = d_terms(unew, Mu_q, Cu_q)
         active = jnp.any(idxD)
         deltad = msrc._masked_mean(jnp.abs(ratio), idxD)
+        if d_scale != 1.0:
+            deltad = deltad * jnp.asarray(d_scale, dtype)
         d_new = s.d + deltad
         i_next = jnp.where(active, s.i + 1, s.i)
         outer_exhausted = i_next >= params.maxoliters
