@@ -450,10 +450,10 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     upper-triangle tiles of [M; C] (ops/flattri.py): HALF the pool bytes
     AND half the per-tick HBM traffic (the solver tick streams the whole
     stored matrix every probe), with the lane -> problem indirection riding
-    scalar prefetch into the Pallas matvec. Requires m divisible by 128;
-    supported on the fused and unfused single-device paths (a mesh forces
-    'stacked'). tri_tile: storage tile t (0 = auto: 256 when m divides,
-    else 128).
+    scalar prefetch into the Pallas matvec. Requires m divisible by 128.
+    Under a mesh, each device builds its local problems' storage and runs
+    its own compaction loop inside ONE shard_map (no collectives).
+    tri_tile: storage tile t (0 = auto: 256 when m divides, else 128).
 
     tri_probes: K-wide in-tick line search for the tri layout (candidate
     rows ride the tri kernel's storage read nearly free, collapsing
@@ -468,11 +468,6 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
     if fused is None:
         fused = mesh is None
     if mesh is not None:
-        if layout == "tri":
-            import warnings
-            warnings.warn("pool layout='tri' is single-device; a mesh pool "
-                          "falls back to layout='stacked'", stacklevel=2)
-        layout = "stacked"
         fused = False
 
     def _tri_meta(m: int):
@@ -528,6 +523,36 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
                               stall_outers=stall_outers, d_scale=d_scale)
 
     build_tri_jit = jax.jit(build_tri_batch)
+
+    _tri_mesh_cache = {}
+
+    def _tri_mesh_fn(nt, mv_kind):
+        """One shard_map per (nt, kernel): each device builds its local
+        problems' triangle storage (its own pallas_call — a pallas build
+        under plain jit would NOT auto-partition over sharded operands)
+        and runs its own lane-compaction loop; NO collectives anywhere, so
+        a slow shard never stalls another's compute. Cached so repeated
+        pipeline() calls reuse the jitted program."""
+        if (nt, mv_kind) not in _tri_mesh_cache:
+            from jax.sharding import PartitionSpec as Pspec
+
+            def _local(D1, D2s, As, u0s, m_trues):
+                tri, inits = build_tri_batch(D1, D2s, As, u0s, m_trues)
+                return solve_pool_tri(
+                    tri, nt, inits, params, lanes=lanes, window=window,
+                    matvec=mv_kind, probes=tri_probes,
+                    warm_alpha=warm_alpha, stall_outers=stall_outers,
+                    d_scale=d_scale)
+
+            _tri_mesh_cache[(nt, mv_kind)] = jax.jit(jax.shard_map(
+                _local, mesh=mesh,
+                in_specs=(Pspec(), Pspec(axis_name), Pspec(axis_name),
+                          Pspec(axis_name), Pspec(axis_name)),
+                out_specs=(Pspec(axis_name), Pspec(axis_name),
+                           Pspec(axis_name)),
+                check_vma=False,
+            ))
+        return _tri_mesh_cache[(nt, mv_kind)]
 
     def build_one(D1, D2, A, u0, m_true):
         if storage_dtype is not None and build == "pallas":
@@ -651,7 +676,7 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
             m_trues = jnp.full((W,), As.shape[1], jnp.int32)
         if fused:
             return fused_pipeline(D1, D2s, As, u0s, m_trues)
-        if layout == "tri":
+        if layout == "tri" and mesh is None:
             # unfused tri path: one build dispatch (no chunking — the
             # triangle pool is already half the stacked footprint)
             _, nt, mv_kind = _tri_meta(As.shape[1])
@@ -669,6 +694,12 @@ def make_pool_pipeline(invariant: PairwiseInvariant,
             u0s = jax.device_put(u0s, bshard)
             m_trues = jax.device_put(m_trues, bshard)
             D1 = jax.device_put(D1, NamedSharding(mesh, Pspec()))
+            if layout == "tri":
+                # per-device build + compaction loop under ONE shard_map
+                _, nt, mv_kind = _tri_meta(As.shape[1])
+                u, F, ifinal = _tri_mesh_fn(nt, mv_kind)(
+                    D1, D2s, As, u0s, m_trues)
+                return polish_jit(D1, D2s, As, u, F, ifinal, u0s)
         # chunked building would slice across shard boundaries; under a mesh
         # the single sharded build call auto-partitions instead
         csize = W if mesh is not None else (chunk or W)

@@ -234,3 +234,34 @@ def test_multiprobe_candidates_match_sequential():
     np.testing.assert_allclose(float(s_mp.F[0]), float(s_seq.F),
                                rtol=0, atol=1e-12)
     assert int(s_mp.d.shape[0]) == 1
+
+
+def test_pool_tri_mesh_matches_quality():
+    """layout='tri' under a data-parallel mesh: per-device build +
+    compaction loop in one shard_map, no collectives."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(7)
+    key = jax.random.PRNGKey(0)
+    pcd0 = harness.load_bunny()
+    B, m = 16, 256
+    problems = [harness.make_problem(pcd0, m, 0.9, rng) for _ in range(B)]
+    D1 = jnp.asarray(pcd0, jnp.float32)
+    D2s = jnp.stack([jnp.asarray(p[0], jnp.float32) for p in problems])
+    As = jnp.stack([jnp.asarray(p[1], jnp.int32) for p in problems])
+    u0s = jax.vmap(lambda k: utils.randvec(k, m, dtype=jnp.float32))(
+        jax.random.split(key, B))
+    inv = harness.default_invariant()
+    mesh = Mesh(np.array(jax.devices()), ("b",))
+    pipe = pool.make_pool_pipeline(inv, Params(), lanes=2, window=2,
+                                   storage_dtype=jnp.int8, power_steps=4,
+                                   layout="tri", tri_probes=8,
+                                   d_scale=0.15, mesh=mesh)
+    s = pipe(D1, D2s, As, u0s)
+    masks = np.asarray(s.mask)
+    ps, rs = [], []
+    for b, (_, A, Agt) in enumerate(problems):
+        p, r = data.get_precision_recall(np.asarray(As[b])[masks[b]], Agt)
+        ps.append(p)
+        rs.append(r)
+    assert np.mean(ps) > 0.97 and np.mean(rs) > 0.8
