@@ -265,3 +265,45 @@ def test_pool_tri_mesh_matches_quality():
         ps.append(p)
         rs.append(r)
     assert np.mean(ps) > 0.97 and np.mean(rs) > 0.8
+
+
+def test_build_tri_pallas_fused_bitexact():
+    """The one-program-per-problem build variant is bit-identical to the
+    per-tile grid build (kept as a documented wash — see BENCH.md r5)."""
+    rng = np.random.default_rng(8)
+    m, t = 256, 128
+    pcd0 = harness.load_bunny().astype(np.float32)
+    pcd1, A, _ = harness.make_problem(pcd0, m, 0.9, rng)
+    inv = harness.default_invariant()
+    D1 = jnp.asarray(pcd0, jnp.float32)
+    D2 = jnp.asarray(pcd1, jnp.float32)
+    A = jnp.asarray(A, jnp.int32)
+    P1 = D1[A[:, 0]]
+    P2 = D2[A[:, 1]]
+    a = flattri.build_tri_pallas(inv, P1[None], P2[None], A[None],
+                                 jnp.asarray([m]), t=t)
+    b = flattri.build_tri_pallas_fused(inv, P1[None], P2[None], A[None],
+                                       jnp.asarray([m]), t=t)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tile_major_layout_matches_stacked_f64():
+    """repack_stacked_tiles + the tile-major matvecs agree with the
+    stacked oracle (the Pallas 'tiles' kernel is experimental on real
+    TPUs — see its warning — but its math and the XLA fallback are
+    exact)."""
+    rng = np.random.default_rng(9)
+    t, nt = 128, 4
+    m = t * nt
+    MC = jnp.asarray(_random_stacked(rng, m))
+    tri = flattri.repack_stacked_tiles(MC, t)[None]
+    U = jnp.asarray(rng.random((3, m)))
+    idx = jnp.zeros(3, jnp.int32)
+    ref = msrc_flat.make_stacked_matvec(MC, jnp.float64)
+    refM = np.stack([np.asarray(ref(U[b])[0]) for b in range(3)])
+    refC = np.stack([np.asarray(ref(U[b])[1]) for b in range(3)])
+    for maker in (flattri.make_tri_pool_matvec_tiles_xla,
+                  flattri.make_tri_pool_matvec_tiles):
+        MU, CU = maker(tri, nt, jnp.float64)(idx, U)
+        np.testing.assert_allclose(np.asarray(MU), refM, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(CU), refC, rtol=0, atol=1e-12)
