@@ -98,3 +98,33 @@ def test_bucketed_batch_padding_dummies_inert():
     for i in range(3):
         sel = set(np.flatnonzero(np.asarray(solns[i].mask)))
         assert len(sel & set(range(20))) >= 17, (i, sel)
+
+
+def test_bucketed_tri_layout_passthrough():
+    """pool kwargs (layout='tri', tri_probes, d_scale) flow through the
+    bucketed dispatcher; bucket sizes are 128-multiples so the triangle
+    layout always applies."""
+    rng = np.random.default_rng(3)
+    n = 64
+    D1 = rng.uniform(size=(n, 3)).astype(np.float32)
+    problems = []
+    for _ in range(3):
+        th = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        D2 = (D1 @ R.T + rng.normal(0, 0.002, size=(n, 3))).astype(np.float32)
+        A = np.zeros((128, 2), dtype=np.int32)
+        A[:20, 0] = A[:20, 1] = np.arange(20)
+        A[20:, 0] = rng.integers(0, n, 108)
+        A[20:, 1] = rng.integers(0, n, 108)
+        problems.append((D2, A, rng.uniform(size=128).astype(np.float32)))
+    bp = buckets.make_bucketed_pipeline(INV, ct.Params(), lanes=4, window=2,
+                                        layout="tri", tri_probes=4,
+                                        d_scale=0.15,
+                                        storage_dtype=jnp.int8,
+                                        power_steps=2)
+    solns = bp(D1, problems)
+    assert len(solns) == 3
+    for i in range(3):
+        sel = set(np.flatnonzero(np.asarray(solns[i].mask)))
+        assert len(sel & set(range(20))) >= 17, (i, sel)
