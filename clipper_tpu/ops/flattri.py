@@ -95,10 +95,11 @@ def _seg_matvec_lane(read, u_row, nt: int, t: int, cdt, acc_dtype,
     """One lane's (M u, C u) from its flat triangle, as unrolled segment
     matmuls — the shared math of the Pallas kernel body and the XLA
     fallback. ``read(r0, c0, r1, c1)`` returns the storage slice
-    [r0:r1, c0:c1] of the lane's (2t, S) triangle (a REF slice in the
-    kernel — loading the whole block as one value spills vregs); u_row:
-    (K, m) candidate rows in ``cdt``. Returns (accM, accC), each (K, m)
-    in ``acc_dtype``.
+    [r0:r1, c0:c1] of the lane's (2t, S) triangle — in the kernel these
+    are VALUE slices of one whole-block VMEM load (measured faster than
+    per-segment ref slices, whose overlapping transposed reads re-issue
+    VMEM loads); u_row: (K, m) candidate rows in ``cdt``. Returns
+    (accM, accC), each (K, m) in ``acc_dtype``.
 
     Mosaic has no dynamic_slice/scatter lowering, so the accumulator is
     assembled from STATIC pieces only: the forward products are disjoint
